@@ -1,0 +1,12 @@
+from vivqa_tpu.utils.logger import PipelineLogger, get_pipeline_logger
+from vivqa_tpu.utils.seeding import set_seed, new_rng
+from vivqa_tpu.utils.yaml_io import load_yaml, save_yaml
+
+__all__ = [
+    "PipelineLogger",
+    "get_pipeline_logger",
+    "set_seed",
+    "new_rng",
+    "load_yaml",
+    "save_yaml",
+]
