@@ -1,0 +1,156 @@
+"""Data layer tests: CSV loading, splitting, vocab quirks, tokenizers,
+augmentation, datasets, loader + device prefetch."""
+
+import numpy as np
+import pytest
+
+from vivqa_tpu.data import (BatchLoader, GenerativeVQADataset,
+                            ImageAugmentation, OneSample, VQADataset,
+                            WhitespaceTokenizer, build_answer_vocab,
+                            data_statistics, device_prefetch,
+                            encode_answer_counts, generate_synthetic_vivqa,
+                            generative_collate, load_raw_data,
+                            majority_answer, parse_answers, split_data,
+                            synthetic_samples, validate_samples, vqa_collate,
+                            IGNORE_INDEX)
+
+
+def test_parse_answers_forms():
+    assert parse_answers("['a', 'b']") == ["a", "b"]
+    assert parse_answers("mèo") == ["mèo"]
+    assert parse_answers(["x"]) == ["x"]
+    assert parse_answers("[broken") == ["[broken"]
+
+
+def test_synthetic_csv_roundtrip(tmp_path):
+    csv_path, img_dir = generate_synthetic_vivqa(tmp_path, n=12, image_size=16)
+    samples = load_raw_data(csv_path, img_dir)
+    assert len(samples) == 12
+    assert all(s.answers for s in samples)
+    # image paths resolved through the index
+    assert all(str(img_dir) in s.image_path for s in samples)
+    stats = data_statistics(samples)
+    assert stats["num_samples"] == 12 and stats["num_unique_answers"] > 0
+
+
+def test_validate_samples_drops_bad():
+    good = OneSample("a.jpg", "q?", ["a"])
+    bad = OneSample("", "", [])
+    kept, problems = validate_samples([good, bad])
+    assert kept == [good] and len(problems) == 1
+
+
+def test_split_data_deterministic():
+    samples = synthetic_samples(20)
+    t1, v1, e1 = split_data(samples, 0.7, 0.2, seed=1)
+    t2, v2, e2 = split_data(samples, 0.7, 0.2, seed=1)
+    assert [s.question for s in t1] == [s.question for s in t2]
+    assert len(t1) == 14 and len(v1) == 4 and len(e1) == 2
+
+
+def test_answer_vocab_unk_is_zero():
+    samples = [OneSample("x", "q", ["mèo", "mèo", "chó"]),
+               OneSample("x", "q", ["chó"]),
+               OneSample("x", "q", ["gà"])]
+    a2i, i2a = build_answer_vocab(samples, min_freq=1)
+    assert a2i["<unk>"] == 0
+    assert set(a2i) == {"<unk>", "mèo", "chó", "gà"}
+    assert i2a[a2i["mèo"]] == "mèo"
+    # min_freq filters
+    a2i2, _ = build_answer_vocab(samples, min_freq=2)
+    assert set(a2i2) == {"<unk>"}  # each majority answer appears once
+
+
+def test_majority_and_counts():
+    assert majority_answer(["a", "b", "a"]) == "a"
+    counts = encode_answer_counts(["a", "a", "zzz"], {"<unk>": 0, "a": 1})
+    assert counts == {1: 2, 0: 1}
+
+
+def test_whitespace_tokenizer_roundtrip(tmp_path):
+    tok = WhitespaceTokenizer(max_length=8)
+    tok.build_vocab(["con mèo đen", "con chó trắng"])
+    ids = tok.encode("con mèo trắng")
+    assert ids.shape == (8,)
+    assert tok.decode(ids) == "con mèo trắng"
+    # unknown word -> <unk> dropped at decode
+    ids2 = tok.encode("con voi")
+    assert tok.decode(ids2) == "con"
+    enc = tok.encode_batch(["con mèo", "chó"])
+    assert enc["input_ids"].shape == (2, 8)
+    assert enc["attention_mask"].sum() == 3
+    tok.save(tmp_path / "tok.json")
+    tok2 = WhitespaceTokenizer.load(tmp_path / "tok.json")
+    assert tok2.vocab == tok.vocab
+
+
+def test_augmentation_shapes_and_placeholder():
+    aug = ImageAugmentation(image_size=32, mode="eval")
+    out = aug("definitely_missing_file.jpg")     # placeholder path
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    aug_t = ImageAugmentation(image_size=32, mode="train", strength="strong",
+                              seed=0)
+    arr = np.random.rand(48, 48, 3).astype(np.float32)
+    out2 = aug_t(arr)
+    assert out2.shape == (32, 32, 3)
+    with pytest.raises(ValueError):
+        ImageAugmentation(strength="nope")
+
+
+def _toy_setup(n=10):
+    samples = synthetic_samples(n)
+    tok = WhitespaceTokenizer(max_length=8)
+    tok.build_vocab([s.question for s in samples] +
+                    [a for s in samples for a in s.answers])
+    a2i, _ = build_answer_vocab(samples)
+    aug = ImageAugmentation(image_size=16, mode="eval")
+    return samples, tok, a2i, aug
+
+
+def test_vqa_dataset_and_collate():
+    samples, tok, a2i, aug = _toy_setup()
+    ds = VQADataset(samples, tok, a2i, aug, max_question_length=8)
+    item = ds[0]
+    assert item["pixel_values"].shape == (16, 16, 3)
+    assert item["input_ids"].shape == (8,)
+    assert 0 <= item["labels"] < len(a2i)
+    batch = vqa_collate([ds[i] for i in range(4)])
+    assert batch["pixel_values"].shape == (4, 16, 16, 3)
+    assert batch["labels"].shape == (4,)
+    assert len(batch["answer_counts"]) == 4
+
+
+def test_generative_dataset_teacher_forcing():
+    samples, tok, a2i, aug = _toy_setup()
+    ds = GenerativeVQADataset(samples, tok, aug, max_question_length=8,
+                              max_answer_length=6)
+    item = ds[0]
+    dec, lab = item["decoder_input_ids"], item["labels"]
+    assert dec[0] == tok.bos_token_id
+    # labels are dec shifted left, ending with EOS then IGNORE padding
+    n_real = int(item["decoder_mask"].sum())
+    assert lab[n_real - 1] == tok.eos_token_id
+    assert (lab[n_real:] == IGNORE_INDEX).all()
+    np.testing.assert_array_equal(dec[1:n_real], lab[:n_real - 1])
+    batch = generative_collate([ds[i] for i in range(3)])
+    assert batch["decoder_input_ids"].shape == (3, 6)
+
+
+def test_batch_loader_static_shapes_and_prefetch(mesh8):
+    from vivqa_tpu.parallel import batch_sharding
+    samples, tok, a2i, aug = _toy_setup(n=20)
+    ds = VQADataset(samples, tok, a2i, aug, max_question_length=8)
+    loader = BatchLoader(ds, batch_size=8, collate=vqa_collate, seed=3)
+    assert len(loader) == 2          # drop_last
+    batches = list(device_prefetch(iter(loader),
+                                   sharding=batch_sharding(mesh8)))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["pixel_values"].shape == (8, 16, 16, 3)
+    from jax.sharding import PartitionSpec as P
+    assert b["pixel_values"].sharding.spec == P("data")
+    assert isinstance(b["question"], list)      # host fields ride along
+    # reshuffles across epochs
+    e1 = [s for s in loader][0]["labels"]
+    e2 = [s for s in loader][0]["labels"]
+    assert not np.array_equal(e1, e2)

@@ -1,0 +1,165 @@
+"""Metric unit tests against hand-computed values (SURVEY §7.2.4) and,
+where available, NLTK cross-checks."""
+
+import math
+
+import numpy as np
+import pytest
+
+from vivqa_tpu.metrics import (AnswerTypeAccuracy, BLEUScore, CIDErScore,
+                               ExactMatchAccuracy, F1Score, METEORScore,
+                               MetricCollection, PrecisionRecallF1,
+                               ROUGEScore, TopKAccuracy, VQAAccuracy, WUPS,
+                               classify_question_type,
+                               create_classification_metrics,
+                               create_generative_metrics, normalize_answer,
+                               rouge_l_f1)
+
+
+def test_normalize_answer():
+    assert normalize_answer("  Con Mèo! ") == "con mèo"
+    assert normalize_answer("A,B.C") == "abc"
+
+
+def test_vqa_accuracy_soft():
+    m = VQAAccuracy()
+    # pred 3 matches 3 humans -> 1.0; pred 7 matches 1 human -> 1/3;
+    # pred 0 matches none -> 0.0
+    m.update([3, 7, 0], [{3: 3, 4: 1}, {7: 1, 2: 5}, {9: 2}])
+    r = m.compute()
+    assert np.isclose(r.value, (1.0 + 1 / 3 + 0.0) / 3)
+    assert r.per_sample == [1.0, pytest.approx(1 / 3), 0.0]
+
+
+def test_topk_accuracy():
+    m = TopKAccuracy(k=2)
+    logits = np.array([[0.1, 0.9, 0.5, 0.0],    # top2 = {1, 2}
+                       [0.9, 0.1, 0.0, 0.5]])   # top2 = {0, 3}
+    m.update(logits, [2, 1])
+    assert m.compute().value == 0.5
+
+
+def test_exact_match_any_reference():
+    m = ExactMatchAccuracy()
+    m.update(["con mèo", "chó"], [["Con mèo!", "mèo"], ["mèo"]])
+    assert m.compute().value == 0.5
+
+
+def test_f1_hand_computed():
+    # predictions [0,0,1,1], labels [0,1,1,0]
+    # class0: tp=1 fp=1 fn=1 -> p=r=f=0.5 ; class1 same
+    for avg, expected in (("macro", 0.5), ("micro", 0.5), ("weighted", 0.5)):
+        m = F1Score(avg)
+        m.update([0, 0, 1, 1], [0, 1, 1, 0])
+        assert np.isclose(m.compute().value, expected), avg
+
+
+def test_f1_micro_vs_macro_differ_on_imbalance():
+    macro, micro = F1Score("macro"), F1Score("micro")
+    preds = [0] * 9 + [1]
+    labels = [0] * 8 + [1, 0]
+    macro.update(preds, labels)
+    micro.update(preds, labels)
+    assert macro.compute().value != micro.compute().value
+
+
+def test_question_type_classifier():
+    assert classify_question_type("Có bao nhiêu con chó?") == "count"
+    assert classify_question_type("Quả táo màu gì?") == "color"
+    assert classify_question_type("Ai đang đứng?") == "who"
+    assert classify_question_type("xyz") == "other"
+
+
+def test_answer_type_accuracy():
+    m = AnswerTypeAccuracy()
+    m.update([1, 2], [1, 3], ["Có bao nhiêu con chó?", "Quả táo màu gì?"])
+    r = m.compute()
+    assert r.per_class["count"] == 1.0
+    assert r.per_class["color"] == 0.0
+    assert r.value == 0.5
+
+
+def test_token_prf():
+    m = PrecisionRecallF1()
+    m.update(["con mèo đen"], [["con mèo"]])
+    r = m.compute()
+    # pred 3 tokens, ref 2 tokens, 2 common -> P=2/3, R=1, F=0.8
+    assert np.isclose(r.metadata["precision"], 2 / 3)
+    assert np.isclose(r.metadata["recall"], 1.0)
+    assert np.isclose(r.value, 0.8)
+
+
+def test_bleu_perfect_and_zero():
+    m = BLEUScore()
+    m.update(["con mèo đen nhỏ xinh"], [["con mèo đen nhỏ xinh"]])
+    assert np.isclose(m.compute().value, 1.0)
+    m2 = BLEUScore()
+    m2.update(["a b c d"], [["x y z w"]])
+    assert m2.compute().value < 0.05
+
+
+def test_bleu_matches_nltk():
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+    preds = ["con mèo đen đang ngủ trên ghế",
+             "hai con chó chạy trong công viên"]
+    refs = [["con mèo đen ngủ trên ghế sofa"],
+            ["hai con chó đang chạy ngoài công viên"]]
+    ours = BLEUScore()
+    ours.update(preds, refs)
+    got = ours.compute().value
+    want = corpus_bleu([[r.split() for r in rs] for rs in refs],
+                       [p.split() for p in preds],
+                       smoothing_function=SmoothingFunction().method1)
+    assert np.isclose(got, want, atol=1e-6), (got, want)
+
+
+def test_rouge_l():
+    # pred "a b c d", ref "a c d" -> LCS=3, P=3/4, R=1, F = 2*.75/1.75
+    assert np.isclose(rouge_l_f1("a b c d", "a c d"), 2 * 0.75 / 1.75)
+    m = ROUGEScore()
+    m.update(["a b c d"], [["a c d"]])
+    r = m.compute()
+    assert np.isclose(r.value, 2 * 0.75 / 1.75)
+    assert "rouge1" in r.metadata and "rouge2" in r.metadata
+
+
+def test_meteor_identical_and_reordered():
+    m = METEORScore()
+    m.update(["con mèo đen"], [["con mèo đen"]])
+    v_same = m.compute().value
+    assert v_same > 0.95  # exact match, single chunk, tiny penalty
+    m2 = METEORScore()
+    m2.update(["đen mèo con"], [["con mèo đen"]])
+    v_reord = m2.compute().value
+    assert 0 < v_reord < v_same  # fragmentation penalty kicks in
+
+
+def test_cider_identical_beats_disjoint():
+    m = CIDErScore()
+    m.update(["con mèo đen", "x y z"],
+             [["con mèo đen"], ["a b c"]])
+    r = m.compute()
+    assert r.per_sample[0] > 5.0   # identical should be near 10
+    assert r.per_sample[1] == 0.0
+
+
+def test_wups_exact_fallback():
+    m = WUPS(0.9)
+    m.update(["mèo", "chó"], [["mèo"], ["mèo"]])
+    r = m.compute()
+    assert r.per_sample[0] == 1.0
+    assert r.per_sample[1] < 0.2  # no wordnet for Vietnamese -> near 0
+
+
+def test_metric_collections():
+    mc = create_classification_metrics()
+    mc.update(predictions=[1], labels=[1], logits=np.array([[0.0, 1.0]]),
+              answer_counts=[{1: 3}], questions=["màu gì?"])
+    vals = mc.compute_values()
+    assert vals["vqa_accuracy"] == 1.0
+    gc = create_generative_metrics()
+    gc.update(predictions=["con mèo"], references=[["con mèo"]])
+    vals = gc.compute_values()
+    assert vals["exact_match"] == 1.0
+    assert vals["bleu"] > 0.0

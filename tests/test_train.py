@@ -1,0 +1,193 @@
+"""Training stack tests: losses (hand-computed), optimizers, strategies,
+and the mesh-sharded train step (DP over 'data', TP/EP over 'model')."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vivqa_tpu.models.config import (FusionConfig, TextEncoderConfig,
+                                     VisualEncoderConfig, VQAModelConfig,
+                                     MoEModelConfig)
+from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
+                             TrainState, create_optimizer, create_schedule,
+                             cross_entropy_loss, decay_mask, focal_loss,
+                             make_train_step, perplexity, place_state,
+                             soft_target_loss, trainable_mask)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def test_cross_entropy_hand_computed():
+    logits = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+    labels = jnp.array([0, 1])
+    want = -np.log(np.exp(2) / (np.exp(2) + 1))
+    assert np.isclose(float(cross_entropy_loss(logits, labels)), want, atol=1e-6)
+
+
+def test_cross_entropy_ignore_index():
+    logits = jnp.array([[[2.0, 0.0], [0.0, 2.0]]])
+    labels = jnp.array([[0, -100]])
+    want = -np.log(np.exp(2) / (np.exp(2) + 1))
+    got = float(cross_entropy_loss(logits, labels, ignore_index=-100))
+    assert np.isclose(got, want, atol=1e-6)
+
+
+def test_cross_entropy_label_smoothing():
+    logits = jnp.array([[2.0, 0.0]])
+    labels = jnp.array([0])
+    ls = 0.2
+    logp = jax.nn.log_softmax(logits)[0]
+    want = -float((0.8 + 0.1) * logp[0] + 0.1 * logp[1])
+    got = float(cross_entropy_loss(logits, labels, label_smoothing=ls))
+    assert np.isclose(got, want, atol=1e-6)
+
+
+def test_soft_target_loss_positive():
+    logits = jnp.array([[10.0, -10.0]])
+    targets = jnp.array([[1.0, 0.0]])
+    assert float(soft_target_loss(logits, targets)) < 1e-3
+    targets_bad = jnp.array([[0.0, 1.0]])
+    assert float(soft_target_loss(logits, targets_bad)) > 5.0
+
+
+def test_focal_downweights_easy():
+    easy = jnp.array([[10.0, -10.0]])
+    hard = jnp.array([[0.1, 0.0]])
+    labels = jnp.array([0])
+    assert float(focal_loss(easy, labels)) < float(focal_loss(hard, labels))
+
+
+def test_perplexity_clamped():
+    assert float(perplexity(jnp.array(200.0))) == float(perplexity(jnp.array(100.0)))
+    assert np.isclose(float(perplexity(jnp.array(2.0))), np.exp(2.0), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule / strategy
+# ---------------------------------------------------------------------------
+
+def test_decay_mask_excludes_norms_and_biases():
+    params = {"mlp": {"wi": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones(2)}},
+              "ln1": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
+              "token_embed": {"embedding": jnp.ones((4, 2))}}
+    mask = decay_mask(params)
+    assert mask["mlp"]["wi"]["kernel"] is True
+    assert mask["mlp"]["wi"]["bias"] is False
+    assert mask["ln1"]["scale"] is False
+    assert mask["token_embed"]["embedding"] is False
+
+
+def test_warmup_cosine_schedule_shape():
+    sched = create_schedule(SchedulerConfig(name="warmup_cosine",
+                                            warmup_steps=10,
+                                            total_steps=100), 1.0)
+    assert float(sched(0)) < 0.2
+    assert np.isclose(float(sched(10)), 1.0, atol=0.05)
+    assert float(sched(99)) < 0.01
+
+
+@pytest.mark.parametrize("name", ["warmup_linear", "polynomial", "step",
+                                  "onecycle", "constant"])
+def test_all_schedules_run(name):
+    sched = create_schedule(SchedulerConfig(name=name, warmup_steps=5,
+                                            total_steps=50), 1e-3)
+    vals = [float(sched(i)) for i in (0, 10, 49)]
+    assert all(np.isfinite(vals)) and max(vals) <= 1.1e-3
+
+
+def test_trainable_mask_strategies():
+    params = {"visual_encoder": {"k": 1}, "text_encoder": {"k": 1},
+              "fusion": {"k": 1}, "answer_head": {"k": 1}}
+    m = trainable_mask(params, "freeze_visual")
+    assert m["visual_encoder"]["k"] is False and m["answer_head"]["k"] is True
+    m = trainable_mask(params, "linear_probe")
+    assert m["fusion"]["k"] is False and m["answer_head"]["k"] is True
+    m = trainable_mask(params, "gradual_unfreeze", epoch=0, total_epochs=9)
+    assert m["visual_encoder"]["k"] is False
+    m = trainable_mask(params, "gradual_unfreeze", epoch=8, total_epochs=9)
+    assert m["visual_encoder"]["k"] is True
+
+
+def test_frozen_params_get_zero_updates():
+    params = {"visual_encoder": {"k": jnp.ones(3)},
+              "answer_head": {"k": jnp.ones(3)}}
+    mask = trainable_mask(params, "freeze_visual")
+    tx = create_optimizer(OptimizerConfig(name="sgd", learning_rate=1.0,
+                                          weight_decay=0.0,
+                                          grad_clip_norm=0.0),
+                          params=params, freeze_mask=mask)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    assert float(jnp.abs(updates["visual_encoder"]["k"]).sum()) == 0.0
+    assert float(jnp.abs(updates["answer_head"]["k"]).sum()) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Sharded end-to-end train step
+# ---------------------------------------------------------------------------
+
+TINY = VQAModelConfig(
+    visual=VisualEncoderConfig(image_size=16, patch_size=8, hidden_dim=32,
+                               num_layers=1, num_heads=2),
+    text=TextEncoderConfig(vocab_size=64, hidden_dim=32, num_layers=1,
+                           num_heads=2, max_length=8),
+    fusion=FusionConfig(fusion_type="concat", hidden_dim=64, num_heads=2,
+                        num_layers=1),
+    moe=MoEModelConfig(use_moe=True, num_experts=4, top_k=2,
+                       expert_hidden_dim=64),
+    num_answers=8)
+
+
+def _make_batch(n=16):
+    rng = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.asarray(rng.randn(n, 16, 16, 3), jnp.float32),
+        "input_ids": jnp.asarray(rng.randint(0, 64, (n, 8)), jnp.int32),
+        "attention_mask": jnp.ones((n, 8), jnp.int32),
+        "labels": jnp.asarray(rng.randint(0, 8, (n,)), jnp.int32),
+    }
+
+
+def test_sharded_train_step_loss_decreases(mesh8):
+    model = VietnameseVQAModel(TINY)
+    batch = _make_batch()
+    rng = jax.random.PRNGKey(0)
+    var = model.init({"params": rng, "router": rng}, batch["pixel_values"],
+                     batch["input_ids"])
+    tx = create_optimizer(OptimizerConfig(learning_rate=1e-2),
+                          params=var["params"])
+    state = TrainState.create(model.apply, var["params"], tx, rng)
+    state = place_state(state, mesh8)
+
+    def loss_fn(params, batch, rng, apply_fn):
+        out = apply_fn({"params": params}, batch["pixel_values"],
+                       batch["input_ids"], batch["attention_mask"],
+                       deterministic=False,
+                       rngs={"dropout": rng, "router": rng})
+        loss = cross_entropy_loss(out["logits"], batch["labels"])
+        total = loss + 0.01 * out["aux_loss"]
+        return total, {"ce": loss, "aux": out["aux_loss"]}
+
+    step = ShardedStep(mesh8, make_train_step(loss_fn))
+    jit_train, _, state_sh, batch_sh = step.compile(state)
+    batch = jax.device_put(batch, jax.tree.map(lambda _: batch_sh, batch))
+
+    losses = []
+    for _ in range(5):
+        state, metrics = jit_train(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+    # MoE expert stack must actually be sharded over the model axis (EP)
+    moe_w = state.params["moe"]["experts"]["w_in"]
+    assert moe_w.sharding.spec == P("model", None, None)
+    # batch was consumed sharded over data axis
+    assert batch["pixel_values"].sharding.spec == P("data")

@@ -1,0 +1,75 @@
+"""Synthetic ViVQA-style dataset generator — for tests, demos and the
+benchmark harness (the reference ships none; its examples/ scripts use
+random tensors)."""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import List, Tuple
+
+import numpy as np
+
+from vivqa_tpu.data.schema import OneSample
+
+_COLORS = ["đỏ", "xanh", "vàng", "trắng", "đen"]
+_OBJECTS = ["con mèo", "con chó", "quả táo", "cái bàn", "chiếc xe"]
+_COUNTS = ["một", "hai", "ba", "bốn", "năm"]
+
+_TEMPLATES = [
+    ("{obj} màu gì?", "màu {color}"),
+    ("có bao nhiêu {obj}?", "{count}"),
+    ("trong ảnh có gì?", "{obj}"),
+    ("đây có phải {obj} không?", "phải"),
+]
+
+
+def generate_synthetic_vivqa(out_dir: str | Path, n: int = 64,
+                             image_size: int = 64, seed: int = 0
+                             ) -> Tuple[Path, Path]:
+    """Write images/ + data.csv (image_link,question,answers). Returns
+    (csv_path, image_dir)."""
+    from PIL import Image
+    rng = random.Random(seed)
+    out = Path(out_dir)
+    img_dir = out / "images"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for i in range(n):
+        color = rng.choice(_COLORS)
+        obj = rng.choice(_OBJECTS)
+        count = rng.choice(_COUNTS)
+        tq, ta = rng.choice(_TEMPLATES)
+        q = tq.format(obj=obj, color=color, count=count)
+        a = ta.format(obj=obj, color=color, count=count)
+        arr = (np.random.RandomState(seed + i)
+               .rand(image_size, image_size, 3) * 255).astype(np.uint8)
+        name = f"img_{i:05d}.jpg"
+        Image.fromarray(arr).save(img_dir / name)
+        answers = [a] * rng.randint(1, 3) + ([rng.choice(_COLORS)]
+                                             if rng.random() < 0.3 else [])
+        rows.append((name, q, answers))
+    csv_path = out / "data.csv"
+    with open(csv_path, "w", encoding="utf-8") as f:
+        f.write("image_link,question,answers\n")
+        for name, q, answers in rows:
+            f.write(f'{name},"{q}","{answers}"\n')
+    return csv_path, img_dir
+
+
+def synthetic_samples(n: int = 32, seed: int = 0) -> List[OneSample]:
+    """In-memory samples with array 'paths' (the augmentation pipeline
+    falls back to a black placeholder for missing files, so any string
+    works when images aren't needed)."""
+    rng = random.Random(seed)
+    samples = []
+    for i in range(n):
+        color = rng.choice(_COLORS)
+        obj = rng.choice(_OBJECTS)
+        count = rng.choice(_COUNTS)
+        tq, ta = rng.choice(_TEMPLATES)
+        samples.append(OneSample(
+            image_path=f"missing_{i}.jpg",
+            question=tq.format(obj=obj, color=color, count=count),
+            answers=[ta.format(obj=obj, color=color, count=count)]))
+    return samples

@@ -1,0 +1,142 @@
+"""Shared transformer building blocks (flax.linen).
+
+These are the primitives every encoder/fusion/decoder in the framework is
+assembled from. Naming is deliberate: attention submodules are called
+``self_attn``/``cross_attn`` with inner ``query/key/value/out`` denses and
+MLPs use ``wi``/``wo`` so the partition rules in
+vivqa_tpu/parallel/mesh.py shard them tensor-parallel without per-model
+annotations.
+
+All blocks are pre-LayerNorm (better training stability than the
+reference's post-LN torch blocks, reference vqa_model.py:237-311) and take
+a compute ``dtype`` (bf16 by policy) while params stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+
+def to_dtype(name: str) -> Dtype:
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[name]
+
+
+def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
+    """Sinusoidal position table (reference PositionalEncoding,
+    generative_vqa_model.py:454-476)."""
+    pos = np.arange(length)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+    table = np.zeros((length, dim), np.float32)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div[: (dim + 1) // 2])
+    return table
+
+
+class MlpBlock(nn.Module):
+    """Transformer feed-forward block: wi -> act -> dropout -> wo."""
+    d_ff: int
+    out_dim: int = 0          # 0 = same as input
+    dropout: float = 0.0
+    activation: Callable = nn.gelu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        out_dim = self.out_dim or x.shape[-1]
+        h = nn.Dense(self.d_ff, dtype=self.dtype, name="wi")(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(out_dim, dtype=self.dtype, name="wo")(h)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN self-attention encoder layer."""
+    num_heads: int
+    d_ff: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.dropout, name="self_attn",
+        )(y, y, mask=mask, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = MlpBlock(self.d_ff, dropout=self.dropout, dtype=self.dtype,
+                     name="mlp")(y, deterministic=deterministic)
+        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+
+class CrossAttentionLayer(nn.Module):
+    """Pre-LN layer with self-attention, cross-attention to a context
+    sequence, and an MLP (reference CrossModalAttention,
+    vqa_model.py:237-311, redesigned pre-LN)."""
+    num_heads: int
+    d_ff: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, self_mask=None, cross_mask=None, *,
+                 deterministic: bool = True, decode: bool = False):
+        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.dropout, decode=decode, name="self_attn",
+        )(y, y, mask=self_mask, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.dropout, name="cross_attn",
+        )(y, context, mask=cross_mask, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = MlpBlock(self.d_ff, dropout=self.dropout, dtype=self.dtype,
+                     name="mlp")(y, deterministic=deterministic)
+        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+
+
+def pool_sequence(hidden: jnp.ndarray, mask: Optional[jnp.ndarray],
+                  pooling: str) -> jnp.ndarray:
+    """Pool (B, L, D) -> (B, D). pooling in {cls, mean, max}
+    (reference TextEncoder pooling, vqa_model.py:179-204)."""
+    if pooling == "cls":
+        return hidden[:, 0]
+    if mask is None:
+        mask = jnp.ones(hidden.shape[:2], dtype=hidden.dtype)
+    m = mask[..., None].astype(hidden.dtype)
+    if pooling == "mean":
+        return (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1e-6)
+    if pooling == "max":
+        neg = jnp.finfo(hidden.dtype).min
+        return jnp.where(m > 0, hidden, neg).max(axis=1)
+    raise ValueError(f"unknown pooling: {pooling}")
+
+
+def make_attention_mask(query_mask: Optional[jnp.ndarray],
+                        key_mask: Optional[jnp.ndarray],
+                        dtype: Dtype = jnp.float32) -> Optional[jnp.ndarray]:
+    """Build a (B, 1, Lq, Lk) boolean attention mask from padding masks."""
+    if query_mask is None and key_mask is None:
+        return None
+    if query_mask is None:
+        query_mask = jnp.ones((key_mask.shape[0], 1), key_mask.dtype)
+    if key_mask is None:
+        key_mask = jnp.ones((query_mask.shape[0], 1), query_mask.dtype)
+    mask = nn.make_attention_mask(query_mask, key_mask, dtype=jnp.bool_)
+    return mask
+
+
+def make_causal_mask(x_ids: jnp.ndarray) -> jnp.ndarray:
+    return nn.make_causal_mask(x_ids, dtype=jnp.bool_)

@@ -1,0 +1,134 @@
+"""Training state + the jitted, mesh-sharded train/eval steps.
+
+This is where the TPU-native design departs hardest from the reference:
+the reference mutates an nn.Module in a Python loop with AMP GradScaler
+(src/core/training_pipeline.py:396-535); here the entire update is ONE
+compiled function over a `jax.sharding.Mesh` —
+
+    state' , metrics = train_step(state, batch, rng)
+
+with the batch sharded over the 'data' axis, params placed by the
+partition rules (replicated or tensor/expert-parallel over 'model'), and
+the gradient all-reduce inserted by XLA as ICI collectives. `donate` on
+the state gives in-place buffer reuse in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vivqa_tpu.parallel.mesh import (batch_sharding, replicated,
+                                     shard_pytree_by_rules)
+
+
+class TrainState(struct.PyTreeNode):
+    """Single pytree: step, params, opt state, rng (reference keeps these
+    scattered across trainer attributes)."""
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, apply_fn, params, tx, rng):
+        # Derive a fresh key buffer: train steps donate the state, and a
+        # caller-owned key aliased into it would be invalidated for any
+        # later use (init of a second model, eval sampling, ...).
+        rng = jax.random.fold_in(rng, 0)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), rng=rng, tx=tx,
+                   apply_fn=apply_fn)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_train_step(loss_fn: Callable, donate: bool = True):
+    """loss_fn(params, batch, rng, apply_fn) -> (loss, metrics dict).
+
+    Returns train_step(state, batch) -> (state, metrics). RNG is folded
+    from state.rng by step so the step stays a pure function.
+    """
+
+    def train_step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def wrapped(params):
+            return loss_fn(params, batch, rng, state.apply_fn)
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(metric_fn: Callable):
+    """metric_fn(params, batch, apply_fn) -> metrics dict."""
+
+    def eval_step(state: TrainState, batch):
+        return metric_fn(state.params, batch, state.apply_fn)
+
+    return eval_step
+
+
+@dataclasses.dataclass
+class ShardedStep:
+    """Compiles a step function against a mesh: params sharded by rules,
+    batch sharded over 'data', state donated."""
+    mesh: Mesh
+    train_step: Callable
+    eval_step: Optional[Callable] = None
+
+    def compile(self, state: TrainState):
+        # Optimizer moments share param paths (".../mu/.../mlp/wi/kernel"),
+        # so the same path-regex rules shard them identically to params.
+        state_shardings = state.replace(
+            step=replicated(self.mesh),
+            rng=replicated(self.mesh),
+            params=shard_pytree_by_rules(state.params, self.mesh),
+            opt_state=shard_pytree_by_rules(state.opt_state, self.mesh))
+        batch_sh = batch_sharding(self.mesh)
+
+        jit_train = jax.jit(
+            self.train_step,
+            in_shardings=(state_shardings, batch_sh),
+            out_shardings=(state_shardings, replicated(self.mesh)),
+            donate_argnums=(0,))
+        jit_eval = None
+        if self.eval_step is not None:
+            jit_eval = jax.jit(
+                self.eval_step,
+                in_shardings=(state_shardings, batch_sh),
+                out_shardings=replicated(self.mesh))
+        return jit_train, jit_eval, state_shardings, batch_sh
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Move a host-initialized state onto the mesh (params by rules,
+    everything else replicated)."""
+    rest_sh = replicated(mesh)
+    return state.replace(
+        params=jax.device_put(state.params,
+                              shard_pytree_by_rules(state.params, mesh)),
+        opt_state=jax.device_put(state.opt_state,
+                                 shard_pytree_by_rules(state.opt_state, mesh)),
+        step=jax.device_put(state.step, rest_sh),
+        rng=jax.device_put(state.rng, rest_sh))
