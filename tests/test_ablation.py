@@ -1,0 +1,164 @@
+"""Ablation subsystem tests: matrix generation, masks, evaluator/analyzer/
+reporter on synthetic results, and one real end-to-end mini-experiment."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vivqa_tpu.ablation import (AblationAnalyzer, AblationConfig,
+                                AblationEvaluator, AblationReporter,
+                                AblationRunner, AblationSearchSpace,
+                                AblationTrainer, ExperimentResult,
+                                ExpertAblationConfig, RouterAblationConfig,
+                                build_expert_mask,
+                                compute_expert_index_ranges)
+from vivqa_tpu.ablation.run_ablation import parse_experiment_ranges
+
+
+def test_experiment_matrix_structure():
+    cfg = AblationConfig(search=AblationSearchSpace(
+        num_experts=4, subset_sizes=(2,), max_subsets_per_size=3,
+        router_types=("noisy_topk", "soft", "topk"),
+        top_k_values=(1, 2), load_balance_weights=(0.01,)))
+    matrix = cfg.generate_experiment_matrix()
+    ids = [e.experiment_id for e in matrix]
+    assert ids[0].startswith("full__")                 # baseline first
+    assert any(i.startswith("no_moe__") for i in ids)
+    assert sum(1 for i in ids if i.startswith("single_expert")) == 4
+    assert sum(1 for i in ids if i.startswith("leave_one_out")) == 4
+    assert sum(1 for i in ids if i.startswith("subset_")) == 3
+    # soft router: top_k redundancy skipped -> only one soft entry
+    soft = [i for i in ids if "soft" in i]
+    assert len(soft) == 1
+    # ids unique
+    assert len(ids) == len(set(ids))
+
+
+def test_expert_masks():
+    assert build_expert_mask(ExpertAblationConfig("full"), 4) is None
+    m = build_expert_mask(ExpertAblationConfig("single_expert", (2,)), 4)
+    assert m == (0.0, 0.0, 1.0, 0.0)
+    m = build_expert_mask(ExpertAblationConfig("leave_one_out", (1,)), 4)
+    assert m == (1.0, 0.0, 1.0, 1.0)
+    m = build_expert_mask(ExpertAblationConfig("subset", (0, 3)), 4)
+    assert m == (1.0, 0.0, 0.0, 1.0)
+    with pytest.raises(ValueError):
+        build_expert_mask(ExpertAblationConfig("subset", ()), 4)
+
+
+def test_index_ranges():
+    r = compute_expert_index_ranges(2, 2, 1, 3)
+    assert r == {"vision": (0, 2), "text": (2, 4), "multimodal": (4, 5),
+                 "specialized": (5, 8)}
+
+
+def test_parse_ranges():
+    assert parse_experiment_ranges("1,3,5-7") == [1, 3, 5, 6, 7]
+    assert parse_experiment_ranges("0") == [0]
+    assert parse_experiment_ranges("2-2,2") == [2]
+
+
+def _fake_results():
+    def r(eid, metric):
+        return ExperimentResult(experiment_id=eid, status="completed",
+                                metrics={"vqa_accuracy": metric,
+                                         "val_loss": 1 - metric},
+                                history=[], wall_seconds=1.0)
+    return [
+        r("full__noisy_topk_k2_lb0.01", 0.60),
+        r("no_moe__noisy_topk_k2_lb0.01", 0.50),
+        r("leave_one_out_0__noisy_topk_k2_lb0.01", 0.52),  # expert 0 matters
+        r("leave_one_out_1__noisy_topk_k2_lb0.01", 0.61),  # expert 1 redundant
+        r("single_expert_0__noisy_topk_k2_lb0.01", 0.40),
+        r("single_expert_1__noisy_topk_k2_lb0.01", 0.30),
+        r("subset_0-1__noisy_topk_k2_lb0.01", 0.45),
+        r("full__soft_k0_lb0.01", 0.55),
+        ExperimentResult("broken__x", "failed", {}, [], 0.1, "boom"),
+    ]
+
+
+def test_evaluator_and_analyzer():
+    ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
+    assert ev.baseline().metrics["vqa_accuracy"] == 0.60
+    assert len(ev.results) == 8                      # failed filtered
+    rank = ev.ranking()
+    assert rank[0].experiment_id.startswith("leave_one_out_1")
+    imp = ev.expert_importance()
+    assert imp[0].expert_index == 0 and imp[0].importance > 0
+    deltas = ev.deltas_from_baseline()
+    assert np.isclose(deltas["no_moe__noisy_topk_k2_lb0.01"], -0.10)
+
+    an = AblationAnalyzer(ev)
+    contribs = {c.expert_index: c.classification
+                for c in an.expert_contributions()}
+    assert contribs[0] == "essential"
+    assert contribs[1] == "redundant"
+    syn = an.pairwise_synergies()
+    assert syn and syn[0].experts == (0, 1)
+    findings = an.generate_key_findings()
+    assert any("Baseline" in f for f in findings)
+    assert any("improves" in f for f in findings)
+    rec = an.recommendation()
+    assert 0 in rec.keep_experts and 1 in rec.drop_experts
+
+
+def test_reporter_outputs(tmp_path):
+    ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
+    rep = AblationReporter(ev, AblationAnalyzer(ev))
+    md = rep.generate_markdown_report()
+    assert "# MoE Ablation Study Report" in md
+    assert "## Ranking" in md and "## Expert importance" in md
+    tex = rep.generate_latex_table()
+    assert "\\begin{table}" in tex and "full\\_\\_" in tex
+    files = rep.save_all_reports(tmp_path)
+    for f in files.values():
+        assert len(open(f).read()) > 0
+
+
+@pytest.mark.slow
+def test_mini_ablation_end_to_end(tmp_path, mesh8):
+    """Three real experiments (full / no_moe / single_expert) on tiny
+    synthetic data, exercising the runner resume machinery."""
+    from vivqa_tpu.data import generate_synthetic_vivqa
+    from vivqa_tpu.models.config import (FusionConfig, MoEModelConfig,
+                                         TextEncoderConfig,
+                                         VisualEncoderConfig, VQAModelConfig)
+    from vivqa_tpu.pipelines.data_pipeline import (DataPipeline,
+                                                   DataPipelineConfig)
+    csv, imgs = generate_synthetic_vivqa(tmp_path / "d", n=24, image_size=16)
+    data_out = DataPipeline(DataPipelineConfig(
+        csv_path=str(csv), image_dir=str(imgs), image_size=16,
+        max_question_length=8, batch_size=8,
+        augmentation_strength="light")).run()
+    base = VQAModelConfig(
+        visual=VisualEncoderConfig(image_size=16, patch_size=8,
+                                   hidden_dim=32, num_layers=1, num_heads=2),
+        text=TextEncoderConfig(vocab_size=data_out.tokenizer.vocab_size,
+                               hidden_dim=32, num_layers=1, num_heads=2,
+                               max_length=8),
+        fusion=FusionConfig(fusion_type="concat", hidden_dim=32,
+                            num_heads=2, num_layers=1),
+        moe=MoEModelConfig(use_moe=True, num_experts=2, top_k=1,
+                           expert_hidden_dim=32))
+    cfg = AblationConfig(
+        search=AblationSearchSpace(num_experts=2, include_leave_one_out=False,
+                                   include_single_expert=True),
+        num_epochs=1, batch_size=8, learning_rate=5e-3,
+        output_dir=str(tmp_path / "abl"))
+    trainer = AblationTrainer(cfg, base, data_out, mesh8)
+    runner = AblationRunner(cfg, trainer)
+    results = runner.run(selected=[0, 1, 2])
+    statuses = {r.experiment_id: r.status for r in results}
+    assert all(s == "completed" for s in statuses.values()), statuses
+    assert (tmp_path / "abl" / "reports" / "report.md").exists()
+    assert (tmp_path / "abl" / "manifest.json").exists()
+    assert (tmp_path / "abl" / "progress.json").exists()
+    # per-epoch CSVs written
+    eid = results[0].experiment_id
+    assert (tmp_path / "abl" / "epoch_results" / eid /
+            "val_history.csv").exists()
+
+    # resume: re-running skips everything
+    results2 = runner.run(selected=[0, 1, 2])
+    assert len(results2) == len(results)

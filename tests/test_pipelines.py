@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests on synthetic data (tiny configs)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vivqa_tpu.data import generate_synthetic_vivqa
+from vivqa_tpu.models.config import (FusionConfig, GenerativeVQAConfig,
+                                     TextEncoderConfig, VisualEncoderConfig,
+                                     VQAModelConfig)
+from vivqa_tpu.parallel import MeshConfig
+from vivqa_tpu.pipelines import (DataPipeline, DataPipelineConfig,
+                                 GenerativeTrainingConfig,
+                                 GenerativeVQAPipeline,
+                                 GenerativeVQAPipelineConfig, ModelPipeline,
+                                 ModelPipelineConfig, TrainingPipelineConfig,
+                                 VivqaEvaluationConfig,
+                                 VivqaEvaluationPipeline, VQAPipeline,
+                                 VQAPipelineConfig)
+from vivqa_tpu.train import OptimizerConfig
+
+TINY_VIS = VisualEncoderConfig(image_size=16, patch_size=8, hidden_dim=32,
+                               num_layers=1, num_heads=2)
+TINY_TXT = TextEncoderConfig(vocab_size=512, hidden_dim=32, num_layers=1,
+                             num_heads=2, max_length=8)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    csv, imgs = generate_synthetic_vivqa(d, n=32, image_size=16)
+    return str(csv), str(imgs)
+
+
+def _data_cfg(synth, generative=False):
+    csv, imgs = synth
+    return DataPipelineConfig(
+        csv_path=csv, image_dir=imgs, image_size=16,
+        max_question_length=8, max_answer_length=6, batch_size=8,
+        augmentation_strength="light", generative=generative)
+
+
+def test_data_pipeline_nine_steps(synth):
+    out = DataPipeline(_data_cfg(synth)).run()
+    assert len(out.answer2id) > 1 and out.answer2id["<unk>"] == 0
+    batch = next(iter(out.train_loader))
+    assert batch["pixel_values"].shape == (8, 16, 16, 3)
+    assert out.statistics["num_samples"] == 32
+
+
+def test_model_pipeline_validates_forward():
+    cfg = ModelPipelineConfig(
+        model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                             fusion=FusionConfig(hidden_dim=32, num_heads=2,
+                                                 num_layers=1),
+                             num_answers=7),
+        mesh=MeshConfig(data_axis=-1, model_axis=1))
+    out = ModelPipeline(cfg).run()
+    assert out.param_counts["visual_encoder"] > 0
+    assert out.mesh.devices.size == 8
+
+
+def test_vqa_pipeline_train_then_evaluate(synth, tmp_path):
+    csv, imgs = synth
+    cfg = VQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth),
+        model=ModelPipelineConfig(
+            model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                                 fusion=FusionConfig(fusion_type="concat",
+                                                     hidden_dim=32,
+                                                     num_heads=2,
+                                                     num_layers=1)),
+            mesh=MeshConfig(model_axis=1)),
+        training=TrainingPipelineConfig(
+            num_epochs=2,
+            optimizer=OptimizerConfig(learning_rate=5e-3),
+            checkpoint_dir=str(tmp_path / "ck"),
+            early_stopping_patience=10, log_every=100),
+        output_dir=str(tmp_path / "out"))
+    summary = VQAPipeline(cfg).run()
+    assert len(summary["history"]) == 2
+    assert (tmp_path / "out" / "pipeline_summary.json").exists()
+    # history has the full metric dict
+    h = summary["history"][0]
+    for k in ("vqa_accuracy", "bleu", "rouge_l", "cider", "wups_0.9",
+              "qa_pairs_per_sec"):
+        assert k in h, k
+    # loss went down across epochs
+    assert summary["history"][-1]["train_loss"] <= \
+        summary["history"][0]["train_loss"] + 0.5
+
+    # evaluate mode resuming the saved checkpoint
+    cfg_eval = cfg.replace(mode="evaluate", resume=str(tmp_path / "ck"))
+    summary2 = VQAPipeline(cfg_eval).run()
+    assert "metrics" in summary2 and "vqa_accuracy" in summary2["metrics"]
+
+
+def test_generative_pipeline_train_and_inference(synth, tmp_path):
+    cfg = GenerativeVQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth, generative=True),
+        model=GenerativeVQAConfig(
+            visual=TINY_VIS, text=TINY_TXT, fusion_dim=32, fusion_layers=1,
+            fusion_heads=2, decoder_layers=1, decoder_heads=2,
+            decoder_dim=32, decoder_ff_dim=64, dropout=0.0),
+        training=GenerativeTrainingConfig(
+            num_epochs=1, checkpoint_dir=str(tmp_path / "gck"),
+            optimizer=OptimizerConfig(learning_rate=1e-2), log_every=100),
+        mesh=MeshConfig(model_axis=1),
+        output_dir=str(tmp_path / "gout"))
+    summary = GenerativeVQAPipeline(cfg).run()
+    assert "bleu" in summary["history"][0]
+
+    cfg_inf = cfg.replace(mode="inference", resume=str(tmp_path / "gck"))
+    summary2 = GenerativeVQAPipeline(cfg_inf).run()
+    results = json.loads(Path(summary2["results_path"]).read_text())
+    assert results and "generated_answer" in results[0]
+
+    # external ViVQA-style evaluation from the same checkpoint
+    csv, imgs = synth
+    ev = VivqaEvaluationPipeline(VivqaEvaluationConfig(
+        checkpoint_dir=str(tmp_path / "gck"), csv_path=csv, image_dir=imgs,
+        image_size=16, batch_size=8, max_question_length=8,
+        max_answer_length=6, output_dir=str(tmp_path / "veval"),
+        max_samples=16))
+    res = ev.evaluate()
+    assert "bleu" in res["metrics"]
+    assert (tmp_path / "veval" / "predictions.json").exists()
+
+
+def test_vqa_pipeline_cli_argparse(synth, tmp_path):
+    from vivqa_tpu.pipelines.vqa_pipeline import build_argparser, \
+        VQAPipelineConfig
+    from vivqa_tpu.config.base import merge_cli_overrides
+    csv, imgs = synth
+    args = build_argparser().parse_args([
+        "--mode", "train", "--csv-path", csv, "--image-dir", imgs,
+        "--batch-size", "4", "--epochs", "1", "--fusion", "mutan",
+        "--lr", "0.001"])
+    cfg = merge_cli_overrides(VQAPipelineConfig(),
+                              {k: v for k, v in vars(args).items()
+                               if k != "config"})
+    assert cfg.data.batch_size == 4
+    assert cfg.model.model.fusion.fusion_type == "mutan"
+    assert cfg.training.optimizer.learning_rate == 0.001
+    assert cfg.training.num_epochs == 1

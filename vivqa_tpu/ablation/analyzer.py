@@ -1,0 +1,162 @@
+"""Ablation analysis: contributions, synergies, recommendations, findings.
+
+Counterpart of src/ablation/ablation_analyzer.py:33-484 in the reference:
+ExpertContribution essential/redundant classification, PairwiseSynergy
+from subset runs, RouterAnalysis, MOERecommendation, auto-generated
+key-findings prose, run_full_analysis + JSON save.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from vivqa_tpu.ablation.evaluator import AblationEvaluator, ExpertImportance
+
+
+@dataclasses.dataclass
+class ExpertContribution:
+    expert_index: int
+    importance: float
+    classification: str      # essential | helpful | neutral | redundant
+
+
+@dataclasses.dataclass
+class PairwiseSynergy:
+    experts: tuple
+    pair_metric: float
+    solo_sum: float
+
+    @property
+    def synergy(self) -> float:
+        return self.pair_metric - self.solo_sum / 2.0
+
+
+@dataclasses.dataclass
+class MOERecommendation:
+    keep_experts: List[int]
+    drop_experts: List[int]
+    best_router: Optional[str]
+    rationale: str
+
+
+class AblationAnalyzer:
+    def __init__(self, evaluator: AblationEvaluator,
+                 essential_threshold: float = 0.02,
+                 redundant_threshold: float = -0.005):
+        self.ev = evaluator
+        self.essential_threshold = essential_threshold
+        self.redundant_threshold = redundant_threshold
+
+    def expert_contributions(self) -> List[ExpertContribution]:
+        out = []
+        for imp in self.ev.expert_importance():
+            if imp.importance >= self.essential_threshold:
+                cls = "essential"
+            elif imp.importance > 0:
+                cls = "helpful"
+            elif imp.importance >= self.redundant_threshold:
+                cls = "neutral"
+            else:
+                cls = "redundant"
+            out.append(ExpertContribution(imp.expert_index, imp.importance,
+                                          cls))
+        return out
+
+    def pairwise_synergies(self) -> List[PairwiseSynergy]:
+        """From subset-size-2 and single-expert runs (reference :195)."""
+        solo = {}
+        pairs = {}
+        for r in self.ev.results:
+            m = re.match(r"single_expert_(\d+)__", r.experiment_id)
+            if m:
+                solo[int(m.group(1))] = r.metrics.get(self.ev.primary, 0.0)
+            m = re.match(r"subset_(\d+)-(\d+)__", r.experiment_id)
+            if m:
+                pairs[(int(m.group(1)), int(m.group(2)))] = \
+                    r.metrics.get(self.ev.primary, 0.0)
+        out = []
+        for (a, b), pm in pairs.items():
+            if a in solo and b in solo:
+                out.append(PairwiseSynergy((a, b), pm, solo[a] + solo[b]))
+        return sorted(out, key=lambda s: -s.synergy)
+
+    def router_analysis(self) -> List[Dict]:
+        return self.ev.router_comparison()
+
+    def recommendation(self) -> MOERecommendation:
+        contribs = self.expert_contributions()
+        keep = [c.expert_index for c in contribs
+                if c.classification in ("essential", "helpful")]
+        drop = [c.expert_index for c in contribs
+                if c.classification == "redundant"]
+        routers = self.router_analysis()
+        best_router = routers[0]["router"] if routers else None
+        rationale = (f"{len(keep)} experts materially contribute; "
+                     f"{len(drop)} are redundant"
+                     + (f"; best router: {best_router}" if best_router else ""))
+        return MOERecommendation(keep, drop, best_router, rationale)
+
+    def generate_key_findings(self) -> List[str]:
+        """Prose findings (reference :388-467)."""
+        findings = []
+        base = self.ev.baseline()
+        if base is not None:
+            findings.append(
+                f"Baseline (full MoE) {self.ev.primary} = "
+                f"{base.metrics.get(self.ev.primary, 0.0):.4f}.")
+        no_moe = self.ev.by_id.get(next(
+            (i for i in self.ev.by_id if i.startswith("no_moe__")), ""))
+        if base is not None and no_moe is not None:
+            d = (base.metrics.get(self.ev.primary, 0.0)
+                 - no_moe.metrics.get(self.ev.primary, 0.0))
+            direction = "improves" if d > 0 else "does not improve"
+            findings.append(f"MoE {direction} over the dense model by "
+                            f"{abs(d):.4f} {self.ev.primary}.")
+        contribs = self.expert_contributions()
+        ess = [c.expert_index for c in contribs
+               if c.classification == "essential"]
+        red = [c.expert_index for c in contribs
+               if c.classification == "redundant"]
+        if ess:
+            findings.append(f"Essential experts: {ess}.")
+        if red:
+            findings.append(f"Redundant experts (removal helps): {red}.")
+        syn = self.pairwise_synergies()
+        if syn:
+            s = syn[0]
+            findings.append(f"Strongest pair synergy: experts {s.experts} "
+                            f"(+{s.synergy:.4f}).")
+        routers = self.router_analysis()
+        if len(routers) > 1:
+            findings.append(f"Router ranking: "
+                            f"{[r['router'] for r in routers]}.")
+        ranking = self.ev.ranking()
+        if ranking:
+            findings.append(f"Best configuration: "
+                            f"{ranking[0].experiment_id} "
+                            f"({ranking[0].metrics.get(self.ev.primary, 0.0):.4f}).")
+        return findings
+
+    def run_full_analysis(self) -> Dict:
+        return {
+            "expert_contributions": [dataclasses.asdict(c)
+                                     for c in self.expert_contributions()],
+            "pairwise_synergies": [
+                {**dataclasses.asdict(s), "synergy": s.synergy}
+                for s in self.pairwise_synergies()],
+            "router_analysis": self.router_analysis(),
+            "recommendation": dataclasses.asdict(self.recommendation()),
+            "key_findings": self.generate_key_findings(),
+        }
+
+    def save(self, path: str | Path) -> Path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self.run_full_analysis(), indent=2,
+                                   default=str))
+        return path

@@ -1,0 +1,101 @@
+"""Ablation evaluation: metric tables, expert importance, router ranking.
+
+Counterpart of src/ablation/ablation_evaluator.py:73-380 in the
+reference: per-model-type metric lists, expert importance = baseline
+minus leave-one-out delta, router comparison, ranking by primary metric,
+deltas vs baseline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Dict, List, Optional
+
+from vivqa_tpu.ablation.trainer import ExperimentResult
+
+CLASSIFICATION_METRICS = ("vqa_accuracy", "top5_accuracy", "exact_match",
+                          "f1_macro", "val_loss")
+GENERATIVE_METRICS = ("bleu", "meteor", "rouge_l", "cider", "exact_match",
+                      "token_f1")
+
+
+def get_metrics_for_model_type(model_type: str):
+    return (GENERATIVE_METRICS if model_type == "generative"
+            else CLASSIFICATION_METRICS)
+
+
+@dataclasses.dataclass
+class ExpertImportance:
+    expert_index: int
+    baseline_metric: float
+    ablated_metric: float
+
+    @property
+    def importance(self) -> float:
+        """Positive = removing this expert HURT (it matters)."""
+        return self.baseline_metric - self.ablated_metric
+
+
+class AblationEvaluator:
+    def __init__(self, results: List[ExperimentResult],
+                 primary_metric: str = "vqa_accuracy",
+                 model_type: str = "classification"):
+        self.results = [r for r in results if r.status == "completed"]
+        self.primary = primary_metric
+        self.model_type = model_type
+        self.by_id = {r.experiment_id: r for r in self.results}
+
+    def baseline(self) -> Optional[ExperimentResult]:
+        for r in self.results:
+            if r.experiment_id.startswith("full__"):
+                return r
+        return None
+
+    def metric_table(self) -> List[Dict]:
+        metrics = get_metrics_for_model_type(self.model_type)
+        rows = []
+        for r in self.results:
+            row = {"experiment_id": r.experiment_id,
+                   "wall_seconds": round(r.wall_seconds, 1)}
+            for m in metrics:
+                row[m] = r.metrics.get(m)
+            rows.append(row)
+        return rows
+
+    def ranking(self) -> List[ExperimentResult]:
+        return sorted(self.results,
+                      key=lambda r: r.metrics.get(self.primary, 0.0),
+                      reverse=True)
+
+    def deltas_from_baseline(self) -> Dict[str, float]:
+        base = self.baseline()
+        if base is None:
+            return {}
+        b = base.metrics.get(self.primary, 0.0)
+        return {r.experiment_id: r.metrics.get(self.primary, 0.0) - b
+                for r in self.results}
+
+    def expert_importance(self) -> List[ExpertImportance]:
+        """From leave-one-out runs vs baseline (reference :263-318)."""
+        base = self.baseline()
+        if base is None:
+            return []
+        b = base.metrics.get(self.primary, 0.0)
+        out = []
+        for r in self.results:
+            m = re.match(r"leave_one_out_(\d+)__", r.experiment_id)
+            if m:
+                out.append(ExpertImportance(
+                    int(m.group(1)), b, r.metrics.get(self.primary, 0.0)))
+        return sorted(out, key=lambda x: -x.importance)
+
+    def router_comparison(self) -> List[Dict]:
+        """Router ablations on the full-expert baseline (reference :319)."""
+        rows = []
+        for r in self.results:
+            if r.experiment_id.startswith("full__"):
+                router_part = r.experiment_id.split("__", 1)[1]
+                rows.append({"router": router_part,
+                             self.primary: r.metrics.get(self.primary)})
+        return sorted(rows, key=lambda x: -(x[self.primary] or 0.0))

@@ -1,0 +1,152 @@
+"""Ablation reports: Markdown, CSV, LaTeX.
+
+Counterpart of src/ablation/ablation_reporter.py:51-360 in the reference:
+markdown report with ranking/findings/synergy tables, CSV export,
+expert-contribution CSV, model-type-aware LaTeX table, save_all_reports.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from pathlib import Path
+from typing import List
+
+from vivqa_tpu.ablation.analyzer import AblationAnalyzer
+from vivqa_tpu.ablation.evaluator import (AblationEvaluator,
+                                          get_metrics_for_model_type)
+
+
+class AblationReporter:
+    def __init__(self, evaluator: AblationEvaluator,
+                 analyzer: AblationAnalyzer):
+        self.ev = evaluator
+        self.an = analyzer
+
+    # -- markdown -------------------------------------------------------------
+    def generate_markdown_report(self) -> str:
+        ev = self.ev
+        lines = ["# MoE Ablation Study Report", ""]
+        lines += [f"- model type: **{ev.model_type}**",
+                  f"- primary metric: **{ev.primary}**",
+                  f"- completed experiments: **{len(ev.results)}**", ""]
+
+        lines += ["## Key findings", ""]
+        for f in self.an.generate_key_findings():
+            lines.append(f"- {f}")
+        lines.append("")
+
+        lines += ["## Ranking", ""]
+        metrics = get_metrics_for_model_type(ev.model_type)
+        header = "| rank | experiment | " + " | ".join(metrics) + " |"
+        lines += [header,
+                  "|" + "---|" * (len(metrics) + 2)]
+        for i, r in enumerate(ev.ranking(), 1):
+            vals = " | ".join(
+                f"{r.metrics.get(m):.4f}" if isinstance(
+                    r.metrics.get(m), (int, float)) else "-"
+                for m in metrics)
+            lines.append(f"| {i} | `{r.experiment_id}` | {vals} |")
+        lines.append("")
+
+        imp = self.an.expert_contributions()
+        if imp:
+            lines += ["## Expert importance (leave-one-out)", "",
+                      "| expert | importance | classification |",
+                      "|---|---|---|"]
+            for c in imp:
+                lines.append(f"| {c.expert_index} | {c.importance:+.4f} "
+                             f"| {c.classification} |")
+            lines.append("")
+
+        syn = self.an.pairwise_synergies()
+        if syn:
+            lines += ["## Pairwise synergies", "",
+                      "| experts | pair | solo sum | synergy |",
+                      "|---|---|---|---|"]
+            for s in syn:
+                lines.append(f"| {s.experts} | {s.pair_metric:.4f} | "
+                             f"{s.solo_sum:.4f} | {s.synergy:+.4f} |")
+            lines.append("")
+
+        routers = self.an.router_analysis()
+        if routers:
+            lines += ["## Router comparison", "",
+                      f"| router | {ev.primary} |", "|---|---|"]
+            for r in routers:
+                v = r.get(ev.primary)
+                lines.append(f"| `{r['router']}` | "
+                             f"{v:.4f} |" if v is not None else
+                             f"| `{r['router']}` | - |")
+            lines.append("")
+
+        rec = self.an.recommendation()
+        lines += ["## Recommendation", "",
+                  f"- keep experts: {rec.keep_experts}",
+                  f"- drop experts: {rec.drop_experts}",
+                  f"- router: `{rec.best_router}`",
+                  f"- rationale: {rec.rationale}", ""]
+        return "\n".join(lines)
+
+    # -- CSV -------------------------------------------------------------------
+    def export_csv(self, path: str | Path) -> Path:
+        path = Path(path)
+        rows = self.ev.metric_table()
+        if not rows:
+            path.write_text("")
+            return path
+        keys = list(rows[0])
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
+        return path
+
+    def export_contributions_csv(self, path: str | Path) -> Path:
+        path = Path(path)
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["expert", "importance", "classification"])
+            for c in self.an.expert_contributions():
+                w.writerow([c.expert_index, f"{c.importance:.6f}",
+                            c.classification])
+        return path
+
+    # -- LaTeX -------------------------------------------------------------------
+    def generate_latex_table(self) -> str:
+        metrics = get_metrics_for_model_type(self.ev.model_type)
+        cols = "l" + "c" * len(metrics)
+        head = " & ".join(m.replace("_", "\\_") for m in metrics)
+        lines = [
+            "\\begin{table}[t]", "\\centering",
+            f"\\caption{{MoE ablation results ({self.ev.model_type}, "
+            f"primary metric: {self.ev.primary.replace('_', '\\_')})}}",
+            f"\\begin{{tabular}}{{{cols}}}", "\\toprule",
+            f"Experiment & {head} \\\\", "\\midrule"]
+        for r in self.ev.ranking():
+            vals = " & ".join(
+                f"{r.metrics.get(m):.4f}" if isinstance(
+                    r.metrics.get(m), (int, float)) else "-"
+                for m in metrics)
+            eid = r.experiment_id.replace("_", "\\_")
+            lines.append(f"{eid} & {vals} \\\\")
+        lines += ["\\bottomrule", "\\end{tabular}", "\\end{table}"]
+        return "\n".join(lines)
+
+    # -- bundle -------------------------------------------------------------------
+    def save_all_reports(self, output_dir: str | Path) -> dict:
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "report.md").write_text(self.generate_markdown_report())
+        self.export_csv(out / "results.csv")
+        self.export_contributions_csv(out / "expert_contributions.csv")
+        (out / "table.tex").write_text(self.generate_latex_table())
+        self.an.save(out / "analysis.json")
+        (out / "raw_results.json").write_text(json.dumps(
+            [{"experiment_id": r.experiment_id, "status": r.status,
+              "metrics": r.metrics, "wall_seconds": r.wall_seconds}
+             for r in self.ev.results], indent=2, default=str))
+        return {"report": str(out / "report.md"),
+                "csv": str(out / "results.csv"),
+                "latex": str(out / "table.tex"),
+                "analysis": str(out / "analysis.json")}

@@ -1,0 +1,158 @@
+"""Ablation study CLI.
+
+Counterpart of src/ablation/run_ablation.py in the reference:
+--dry-run (list matrix and exit), --experiments "1,3,5-7" range parsing,
+--rerun, --resume/--no-resume, --interactive selector, plus data/model
+bootstrap flags. Example:
+
+    python -m vivqa_tpu.ablation.run_ablation \
+        --csv-path data.csv --image-dir images/ --model-type generative \
+        --experiments 0-3 --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+from vivqa_tpu.ablation.config import (AblationConfig, AblationSearchSpace)
+from vivqa_tpu.utils import get_pipeline_logger
+
+
+def parse_experiment_ranges(spec: str) -> List[int]:
+    """'1,3,5-7' -> [1, 3, 5, 6, 7] (reference :167)."""
+    out: List[int] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "-" in part:
+            a, b = part.split("-", 1)
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return sorted(set(out))
+
+
+def dry_run(config: AblationConfig) -> None:
+    matrix = config.generate_experiment_matrix()
+    log = get_pipeline_logger()
+    log.section(f"DRY RUN — {len(matrix)} experiments")
+    log.table(("#", "experiment id", "priority"),
+              [(i, e.experiment_id, e.priority)
+               for i, e in enumerate(matrix)])
+
+
+def interactive_select(config: AblationConfig) -> Optional[List[int]]:
+    matrix = config.generate_experiment_matrix()
+    dry_run(config)
+    try:
+        spec = input("experiments to run (e.g. 0,2-4; empty = all)> ").strip()
+        if not spec:
+            return None
+        sel = parse_experiment_ranges(spec)
+        confirm = input(f"run {len(sel)} experiments? [y/N]> ").strip()
+        if confirm.lower() != "y":
+            raise SystemExit("aborted")
+        return sel
+    except EOFError:
+        return None
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MoE ablation study (TPU)")
+    p.add_argument("--config", type=str, help="ablation YAML")
+    p.add_argument("--csv-path", type=str)
+    p.add_argument("--image-dir", type=str, default="")
+    p.add_argument("--model-type", choices=["classification", "generative"])
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--batch-size", type=int)
+    p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--output-dir", type=str)
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--experiments", type=str,
+                   help="indices to run, e.g. '1,3,5-7'")
+    p.add_argument("--rerun", action="store_true")
+    p.add_argument("--interactive", action="store_true")
+    p.add_argument("--resume", dest="resume", action="store_true",
+                   default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = (AblationConfig.from_yaml(args.config) if args.config
+           else AblationConfig())
+    updates = {}
+    for field, arg in (("model_type", args.model_type),
+                       ("num_epochs", args.epochs),
+                       ("batch_size", args.batch_size),
+                       ("output_dir", args.output_dir)):
+        if arg is not None:
+            updates[field] = arg
+    if updates:
+        cfg = cfg.replace(**updates)
+    if cfg.model_type == "generative" and cfg.primary_metric == "vqa_accuracy":
+        cfg = cfg.replace(primary_metric="bleu")
+
+    if args.dry_run:
+        dry_run(cfg)
+        return None
+
+    selected = (parse_experiment_ranges(args.experiments)
+                if args.experiments else None)
+    if args.interactive:
+        selected = interactive_select(cfg)
+
+    # -- bootstrap data + base model config ---------------------------------
+    from vivqa_tpu.ablation.trainer import AblationTrainer
+    from vivqa_tpu.ablation.runner import AblationRunner
+    from vivqa_tpu.models.config import (FusionConfig, GenerativeVQAConfig,
+                                         MoEModelConfig, TextEncoderConfig,
+                                         VisualEncoderConfig, VQAModelConfig)
+    from vivqa_tpu.parallel import MeshConfig, create_mesh
+    from vivqa_tpu.pipelines.data_pipeline import (DataPipeline,
+                                                   DataPipelineConfig)
+
+    data_cfg = DataPipelineConfig(
+        csv_path=args.csv_path or "", image_dir=args.image_dir,
+        image_size=args.image_size, batch_size=cfg.batch_size,
+        generative=(cfg.model_type == "generative"))
+    data_out = DataPipeline(data_cfg).run()
+    tok = data_out.tokenizer
+
+    vis = VisualEncoderConfig(image_size=args.image_size, patch_size=16,
+                              hidden_dim=256, num_layers=4, num_heads=4)
+    txt = TextEncoderConfig(vocab_size=tok.vocab_size, hidden_dim=256,
+                            num_layers=4, num_heads=4,
+                            max_length=data_cfg.max_question_length)
+    moe = MoEModelConfig(use_moe=True, moe_type="vqa",
+                         num_vision_experts=2, num_text_experts=2,
+                         num_multimodal_experts=2,
+                         num_specialized_experts=0,
+                         expert_hidden_dim=512)
+    if cfg.model_type == "generative":
+        base = GenerativeVQAConfig(
+            visual=vis, text=txt, fusion_dim=256, fusion_layers=2,
+            fusion_heads=4, vocab_size=tok.vocab_size,
+            decoder_layers=2, decoder_heads=4, decoder_dim=256,
+            decoder_ff_dim=1024, moe=moe,
+            bos_token_id=tok.bos_token_id, eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+            max_answer_length=data_cfg.max_answer_length)
+    else:
+        base = VQAModelConfig(
+            visual=vis, text=txt,
+            fusion=FusionConfig(hidden_dim=256, num_heads=4, num_layers=2),
+            moe=moe)
+
+    mesh = create_mesh(MeshConfig())
+    trainer = AblationTrainer(cfg, base, data_out, mesh)
+    runner = AblationRunner(cfg, trainer)
+    return runner.run(selected=selected, rerun=args.rerun,
+                      resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Per-experiment training with modification, persistence, OOM retry.
+
+Counterpart of src/ablation/ablation_trainer.py:313-876 in the reference:
+`run_experiment` applies the expert/router modifications, builds the
+classification or generative training pipeline, runs it, persists
+per-epoch CSV/JSON (`epoch_results/<id>/{train,val}_history.csv`,
+`epoch_summary.json`), retries once on device OOM with doubled gradient
+accumulation (reference :691-720), and returns an ExperimentResult.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import time
+import traceback
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+
+from vivqa_tpu.ablation.config import AblationConfig, ExperimentConfig
+from vivqa_tpu.ablation.modifier import (apply_expert_ablation,
+                                         apply_router_ablation,
+                                         build_expert_mask)
+from vivqa_tpu.utils import get_pipeline_logger
+
+
+@dataclasses.dataclass
+class ExperimentResult:
+    experiment_id: str
+    status: str                       # completed | failed | interrupted
+    metrics: Dict[str, float]
+    history: list
+    wall_seconds: float
+    error: str = ""
+    moe_metrics: Optional[Dict] = None
+
+
+class AblationTrainer:
+    """Runs one experiment end-to-end against pre-built data loaders."""
+
+    def __init__(self, config: AblationConfig, base_model_config,
+                 data_out, mesh, logger=None):
+        """data_out: DataPipelineOutput (loaders + vocab + tokenizer)."""
+        self.config = config
+        self.base_model_config = base_model_config
+        self.data = data_out
+        self.mesh = mesh
+        self.log = logger or get_pipeline_logger()
+
+    def _epoch_dir(self, experiment_id: str) -> Path:
+        d = Path(self.config.output_dir) / "epoch_results" / experiment_id
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _save_epoch_results(self, experiment_id: str, history: list) -> None:
+        """train/val history CSVs + epoch summary JSON (reference
+        _save_epoch_results, :582-643)."""
+        d = self._epoch_dir(experiment_id)
+        if not history:
+            return
+        keys = sorted({k for h in history for k in h})
+        with open(d / "val_history.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            for h in history:
+                w.writerow({k: h.get(k) for k in keys})
+        train_keys = [k for k in keys if "train" in k or k == "epoch"]
+        with open(d / "train_history.csv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=train_keys)
+            w.writeheader()
+            for h in history:
+                w.writerow({k: h.get(k) for k in train_keys})
+        (d / "epoch_summary.json").write_text(
+            json.dumps(history, indent=2, default=str))
+
+    def _modified_model(self, experiment: ExperimentConfig):
+        cfg = self.base_model_config
+        cfg = apply_expert_ablation(cfg, experiment.expert)
+        if cfg.moe.use_moe:
+            cfg = apply_router_ablation(cfg, experiment.router)
+        mask = None
+        if cfg.moe.use_moe:
+            num_experts = cfg.moe.num_experts
+            if cfg.moe.moe_type == "vqa":
+                num_experts = (cfg.moe.num_vision_experts +
+                               cfg.moe.num_text_experts +
+                               cfg.moe.num_multimodal_experts +
+                               cfg.moe.num_specialized_experts)
+            mask = build_expert_mask(experiment.expert, num_experts)
+        return cfg, mask
+
+    def _build_and_run(self, experiment: ExperimentConfig, accumulate: int):
+        cfg = self.config
+        model_cfg, mask = self._modified_model(experiment)
+        from vivqa_tpu.train import OptimizerConfig
+        opt = OptimizerConfig(learning_rate=cfg.learning_rate,
+                              accumulate_steps=accumulate)
+        ckpt_dir = str(Path(cfg.output_dir) / "checkpoints" /
+                       experiment.experiment_id)
+        if cfg.model_type == "generative":
+            from vivqa_tpu.models.generative import GenerativeVQAModel
+            from vivqa_tpu.pipelines.generative_training_pipeline import (
+                GenerativeTrainingConfig, GenerativeTrainingPipeline)
+            model = GenerativeVQAModel(model_cfg)
+            rng = jax.random.PRNGKey(cfg.seed)
+            import jax.numpy as jnp
+            b = next(iter(self.data.train_loader))
+            params = model.init(
+                {"params": rng, "router": rng},
+                jnp.asarray(b["pixel_values"][:2]),
+                jnp.asarray(b["question_ids"][:2]),
+                jnp.asarray(b["decoder_input_ids"][:2]))["params"]
+            tp = GenerativeTrainingPipeline(GenerativeTrainingConfig(
+                num_epochs=cfg.num_epochs, optimizer=opt,
+                checkpoint_dir=ckpt_dir, log_every=1000,
+                expert_mask=mask or (), seed=cfg.seed), self.log)
+            out = tp.run(model, params, self.mesh, self.data.train_loader,
+                         self.data.val_loader, self.data.tokenizer)
+        else:
+            from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+            from vivqa_tpu.pipelines.training_pipeline import (
+                TrainingPipeline, TrainingPipelineConfig)
+            mc = model_cfg.replace(num_answers=len(self.data.answer2id))
+            model = VietnameseVQAModel(mc)
+            rng = jax.random.PRNGKey(cfg.seed)
+            import jax.numpy as jnp
+            b = next(iter(self.data.train_loader))
+            params = model.init(
+                {"params": rng, "router": rng},
+                jnp.asarray(b["pixel_values"][:2]),
+                jnp.asarray(b["input_ids"][:2]))["params"]
+            tp = TrainingPipeline(TrainingPipelineConfig(
+                num_epochs=cfg.num_epochs, optimizer=opt,
+                checkpoint_dir=ckpt_dir, log_every=1000,
+                metric_for_best=cfg.primary_metric,
+                expert_mask=mask or (), seed=cfg.seed), self.log)
+            out = tp.run(model, params, self.mesh, self.data.train_loader,
+                         self.data.val_loader, self.data.id2answer)
+        return out
+
+    def run_experiment(self, experiment: ExperimentConfig) -> ExperimentResult:
+        eid = experiment.experiment_id
+        log = self.log
+        log.section(f"EXPERIMENT {eid}")
+        t0 = time.time()
+        accumulate = 1
+        for attempt in range(2):
+            try:
+                out = self._build_and_run(experiment, accumulate)
+                history = out.history
+                final = history[-1] if history else {}
+                self._save_epoch_results(eid, history)
+                return ExperimentResult(
+                    experiment_id=eid, status="completed", metrics=final,
+                    history=history, wall_seconds=time.time() - t0)
+            except KeyboardInterrupt:
+                return ExperimentResult(
+                    experiment_id=eid, status="interrupted", metrics={},
+                    history=[], wall_seconds=time.time() - t0,
+                    error="KeyboardInterrupt")
+            except Exception as e:  # noqa: BLE001
+                msg = str(e)
+                oom = "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                if oom and attempt == 0:
+                    accumulate *= 2
+                    log.warning(f"OOM in {eid}; retrying with gradient "
+                                f"accumulation x{accumulate}")
+                    continue
+                log.failure(f"experiment {eid} failed: {msg.splitlines()[0]}")
+                return ExperimentResult(
+                    experiment_id=eid, status="failed", metrics={},
+                    history=[], wall_seconds=time.time() - t0,
+                    error=traceback.format_exc(limit=5))
+        return ExperimentResult(eid, "failed", {}, [], time.time() - t0,
+                                "unreachable")

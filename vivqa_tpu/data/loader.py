@@ -22,13 +22,19 @@ class BatchLoader:
     drop_last=True keeps shapes static across steps (jit cache)."""
 
     def __init__(self, dataset, batch_size: int, collate: Callable,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 pad_last: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # pad_last: pad a trailing partial batch to full batch_size by
+        # repeating the last item (keeps every batch shape static AND
+        # divisible by the mesh 'data' axis). `_num_valid` records the
+        # real count so metric code can trim.
+        self.pad_last = pad_last
         self.epoch = 0
 
     def __len__(self):
@@ -44,8 +50,13 @@ class BatchLoader:
         self.epoch += 1
         end = n - n % self.batch_size if self.drop_last else n
         for start in range(0, end, self.batch_size):
-            chunk = idx[start:start + self.batch_size]
-            yield self.collate([self.dataset[int(i)] for i in chunk])
+            chunk = list(idx[start:start + self.batch_size])
+            num_valid = len(chunk)
+            if num_valid < self.batch_size and self.pad_last:
+                chunk = chunk + [chunk[-1]] * (self.batch_size - num_valid)
+            batch = self.collate([self.dataset[int(i)] for i in chunk])
+            batch["_num_valid"] = num_valid
+            yield batch
 
 
 _ARRAY_KEYS_SENTINEL = object()
@@ -75,8 +86,9 @@ def device_prefetch(iterator: Iterator[dict], sharding=None,
         try:
             for batch in iterator:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, never swallow
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -84,4 +96,6 @@ def device_prefetch(iterator: Iterator[dict], sharding=None,
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -29,6 +29,10 @@ class ViTEncoder(nn.Module):
         cfg = self.config
         dtype = to_dtype("bfloat16")
         B = pixel_values.shape[0]
+        if cfg.image_size < cfg.patch_size or cfg.image_size % cfg.patch_size:
+            raise ValueError(
+                f"image_size={cfg.image_size} must be a positive multiple of "
+                f"patch_size={cfg.patch_size}")
         n_patches = (cfg.image_size // cfg.patch_size) ** 2
 
         x = nn.Conv(cfg.hidden_dim,

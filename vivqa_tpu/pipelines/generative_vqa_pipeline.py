@@ -1,0 +1,260 @@
+"""Generative VQA orchestrator.
+
+Counterpart of src/core/generative_vqa_pipeline.py:64-1805 in the
+reference: modes train / evaluate / inference / demo (interactive REPL),
+tokenizer + data + model setup, MoE/knowledge flags, ASCII architecture
+summary, batch inference with JSON export, resource-manager integration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vivqa_tpu.config.base import ConfigBase, merge_cli_overrides
+from vivqa_tpu.models.config import GenerativeVQAConfig
+from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
+from vivqa_tpu.models.generative import GenerativeVQAModel
+from vivqa_tpu.parallel import MeshConfig, create_mesh
+from vivqa_tpu.pipelines.common import count_parameters
+from vivqa_tpu.pipelines.data_pipeline import (DataPipeline,
+                                               DataPipelineConfig)
+from vivqa_tpu.pipelines.generative_training_pipeline import (
+    GenerativeTrainingConfig, GenerativeTrainingPipeline)
+from vivqa_tpu.utils import get_pipeline_logger, set_seed
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerativeVQAPipelineConfig(ConfigBase):
+    mode: str = "train"            # train | evaluate | inference | demo
+    data: DataPipelineConfig = dataclasses.field(
+        default_factory=lambda: DataPipelineConfig(generative=True))
+    model: GenerativeVQAConfig = dataclasses.field(
+        default_factory=GenerativeVQAConfig)
+    training: GenerativeTrainingConfig = dataclasses.field(
+        default_factory=GenerativeTrainingConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    output_dir: str = "outputs/generative"
+    resume: str = ""
+    use_resource_manager: bool = False
+    seed: int = 42
+
+
+class GenerativeVQAPipeline:
+    def __init__(self, config: GenerativeVQAPipelineConfig):
+        self.config = config
+        out = Path(config.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        self.log = get_pipeline_logger(reset=True, name="generative_vqa",
+                                       log_dir=out / "logs")
+
+    # ----- setup ------------------------------------------------------------
+    def _setup(self):
+        cfg = self.config
+        data = cfg.data
+        if not data.generative:
+            data = data.replace(generative=True)
+        data_out = DataPipeline(data, self.log).run()
+        tok = data_out.tokenizer
+        model_cfg = cfg.model.replace(
+            vocab_size=tok.vocab_size,
+            bos_token_id=tok.bos_token_id,
+            eos_token_id=tok.eos_token_id,
+            pad_token_id=tok.pad_token_id,
+            max_answer_length=data.max_answer_length,
+            visual=cfg.model.visual.replace(image_size=data.image_size),
+            text=cfg.model.text.replace(
+                max_length=data.max_question_length,
+                vocab_size=tok.vocab_size))
+        model = GenerativeVQAModel(model_cfg)
+        mesh = create_mesh(cfg.mesh)
+        rng = jax.random.PRNGKey(cfg.seed)
+        import jax.numpy as jnp
+        px = jnp.zeros((2, data.image_size, data.image_size, 3))
+        q = jnp.ones((2, data.max_question_length), jnp.int32)
+        d = jnp.zeros((2, data.max_answer_length), jnp.int32)
+        params = model.init({"params": rng, "router": rng}, px, q, d)["params"]
+        self._log_architecture(model_cfg, params)
+        if cfg.resume:
+            from vivqa_tpu.train.checkpoint import (CheckpointConfig,
+                                                    CheckpointManager,
+                                                    partial_load)
+            mgr = CheckpointManager(CheckpointConfig(directory=cfg.resume))
+            restored, _ = mgr.restore_best()
+            mgr.close()
+            params, _ = partial_load(
+                restored.get("params", restored), params, self.log)
+            self.log.success(f"resumed weights from {cfg.resume}")
+        return data_out, model, params, mesh
+
+    def _log_architecture(self, model_cfg: GenerativeVQAConfig, params):
+        log = self.log
+        log.subsection("GenerativeVQAModel architecture")
+        log.info("  pixel -> %s(%dl) \\", model_cfg.visual.backbone,
+                 model_cfg.visual.num_layers)
+        log.info("                     > fusion(%dl%s) -> decoder(%dl) -> vocab(%d)",
+                 model_cfg.fusion_layers,
+                 "+MoE" if model_cfg.moe.use_moe else "",
+                 model_cfg.decoder_layers, model_cfg.vocab_size)
+        log.info("  question -> %s(%dl) /", model_cfg.text.backbone,
+                 model_cfg.text.num_layers)
+        log.log_model_architecture("GenerativeVQAModel",
+                                   count_parameters(params))
+
+    # ----- run ---------------------------------------------------------------
+    def run(self) -> dict:
+        cfg = self.config
+        log = self.log
+        t0 = time.time()
+        log.section("GENERATIVE VQA PIPELINE (TPU)")
+        log.key_value("mode", cfg.mode)
+        set_seed(cfg.seed)
+
+        rm = None
+        if cfg.use_resource_manager:
+            from vivqa_tpu.resources import get_resource_manager
+            rm = get_resource_manager()
+            rm.start()
+
+        try:
+            data_out, model, params, mesh = self._setup()
+            summary = {"mode": cfg.mode, "config": cfg.to_dict()}
+
+            if cfg.mode == "train":
+                tp = GenerativeTrainingPipeline(cfg.training, log)
+                out = tp.run(model, params, mesh, data_out.train_loader,
+                             data_out.val_loader, data_out.tokenizer)
+                summary["history"] = out.history
+                summary["best_metric"] = out.best_metric
+            elif cfg.mode == "evaluate":
+                tp = GenerativeTrainingPipeline(cfg.training, log)
+                from vivqa_tpu.parallel import batch_sharding
+                gen_fn = jax.jit(build_generate_fn(model, self._decode_cfg(model)))
+                metrics = tp._validate(
+                    _FakeState(params), gen_fn, data_out.test_loader,
+                    data_out.tokenizer, batch_sharding(mesh))
+                summary["metrics"] = metrics
+                log.log_metrics(metrics, prefix="test/")
+            elif cfg.mode == "inference":
+                summary["results_path"] = str(
+                    self._run_inference(data_out, model, params))
+            elif cfg.mode == "demo":
+                self._demo(data_out, model, params)
+            else:
+                raise ValueError(f"unknown mode '{cfg.mode}'")
+        finally:
+            if rm is not None:
+                rm.stop()
+
+        summary["wall_seconds"] = time.time() - t0
+        path = Path(cfg.output_dir) / "pipeline_summary.json"
+        path.write_text(json.dumps(summary, indent=2, default=str,
+                                   ensure_ascii=False))
+        log.success(f"summary saved to {path}")
+        return summary
+
+    def _decode_cfg(self, model) -> DecodeConfig:
+        t = self.config.training
+        m = model.config
+        return DecodeConfig(max_length=m.max_answer_length,
+                            bos_token_id=m.bos_token_id,
+                            eos_token_id=m.eos_token_id,
+                            pad_token_id=m.pad_token_id,
+                            strategy=t.decode_strategy,
+                            num_beams=t.num_beams)
+
+    def _run_inference(self, data_out, model, params) -> Path:
+        import jax.numpy as jnp
+        gen_fn = jax.jit(build_generate_fn(model, self._decode_cfg(model)))
+        tok = data_out.tokenizer
+        results = []
+        for batch in data_out.test_loader:
+            seqs, scores = gen_fn(params,
+                                  jnp.asarray(batch["pixel_values"]),
+                                  jnp.asarray(batch["question_ids"]),
+                                  jnp.asarray(batch["question_mask"]))
+            nv = batch.get("_num_valid", len(batch["question"]))
+            for i, q in enumerate(batch["question"][:nv]):
+                results.append({
+                    "question": q,
+                    "generated_answer": tok.decode(np.asarray(seqs)[i]),
+                    "score": float(np.asarray(scores)[i]),
+                    "references": batch["all_answers"][i],
+                })
+        path = Path(self.config.output_dir) / "inference_results.json"
+        path.write_text(json.dumps(results, ensure_ascii=False, indent=2))
+        self.log.success(f"wrote {len(results)} generations to {path}")
+        return path
+
+    def _demo(self, data_out, model, params) -> None:
+        """Interactive REPL (reference :1223-1285). Reads image path +
+        question from stdin; 'quit' exits."""
+        import jax.numpy as jnp
+        from vivqa_tpu.data.augmentation import ImageAugmentation
+        gen_fn = jax.jit(build_generate_fn(model, self._decode_cfg(model)))
+        tok = data_out.tokenizer
+        tf = ImageAugmentation(self.config.data.image_size, mode="eval")
+        print("Generative VQA demo — 'quit' to exit")
+        while True:
+            try:
+                img_path = input("image path> ").strip()
+            except EOFError:
+                break
+            if img_path.lower() in ("quit", "exit", ""):
+                break
+            question = input("question> ").strip()
+            px = jnp.asarray(tf(img_path))[None]
+            q = tok.encode_batch([question],
+                                 self.config.data.max_question_length)
+            seqs, scores = gen_fn(params, px,
+                                  jnp.asarray(q["input_ids"]),
+                                  jnp.asarray(q["attention_mask"]))
+            print(f"answer: {tok.decode(np.asarray(seqs)[0])} "
+                  f"(score {float(scores[0]):.2f})")
+
+
+@dataclasses.dataclass
+class _FakeState:
+    params: object
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Generative VQA pipeline (TPU)")
+    p.add_argument("--mode", choices=["train", "evaluate", "inference",
+                                      "demo"], default=None)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--csv-path", dest="data.csv_path")
+    p.add_argument("--image-dir", dest="data.image_dir")
+    p.add_argument("--batch-size", dest="data.batch_size", type=int)
+    p.add_argument("--epochs", dest="training.num_epochs", type=int)
+    p.add_argument("--lr", dest="training.optimizer.learning_rate", type=float)
+    p.add_argument("--use-moe", dest="model.moe.use_moe",
+                   action="store_const", const=True, default=None)
+    p.add_argument("--moe-type", dest="model.moe.moe_type")
+    p.add_argument("--decode", dest="training.decode_strategy")
+    p.add_argument("--num-beams", dest="training.num_beams", type=int)
+    p.add_argument("--output-dir", dest="output_dir")
+    p.add_argument("--resume", dest="resume")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+    cfg = (GenerativeVQAPipelineConfig.from_yaml(args.config) if args.config
+           else GenerativeVQAPipelineConfig())
+    overrides = {k: v for k, v in vars(args).items() if k != "config"}
+    if args.mode is not None:
+        overrides["mode"] = args.mode
+    cfg = merge_cli_overrides(cfg, overrides)
+    return GenerativeVQAPipeline(cfg).run()
+
+
+if __name__ == "__main__":
+    main()
