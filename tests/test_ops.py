@@ -1,0 +1,58 @@
+"""Pallas ops tests (CPU: exercises the XLA fallback path + numerics;
+the kernel itself is validated on TPU by scripts/bench runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vivqa_tpu.ops.flash_attention import (_pick_blocks, _xla_attention,
+                                           flash_attention)
+
+
+def _qkv(B=2, H=2, Lq=16, Lk=16, D=8, dtype=jnp.float32):
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (B, H, Lq, D), dtype)
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, H, Lk, D), dtype)
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, H, Lk, D), dtype)
+    return q, k, v
+
+
+def test_attention_matches_naive_softmax():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v)
+    d = q.shape[-1]
+    logits = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(d)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", probs, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+
+def test_causal_masks_future():
+    q, k, v = _qkv(Lq=8, Lk=8)
+    out = flash_attention(q, k, v, causal=True)
+    # position 0 attends only to key 0 -> output == v[..., 0, :]
+    np.testing.assert_allclose(np.asarray(out[..., 0, :]),
+                               np.asarray(v[..., 0, :]), atol=1e-5)
+
+
+def test_padding_mask():
+    q, k, v = _qkv(Lk=8)
+    mask = jnp.ones((1, 1, q.shape[2], 8), bool).at[..., 4:].set(False)
+    out = flash_attention(q, k, v, mask=mask)
+    out_trunc = flash_attention(q, k[:, :, :4], v[:, :, :4])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_trunc),
+                               atol=1e-5)
+
+
+def test_grads_finite():
+    q, k, v = _qkv()
+    g = jax.grad(lambda q: flash_attention(q, k, v, causal=True)
+                 .astype(jnp.float32).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_block_picker():
+    assert _pick_blocks(256, 512) == (256, 512)
+    assert _pick_blocks(384, 100) == (128, None)

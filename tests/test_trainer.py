@@ -1,0 +1,75 @@
+"""VQATrainer tests: train/eval loop, gradient checkpointing, resume,
+tensorboard writer."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+from vivqa_tpu.data import (BatchLoader, ImageAugmentation, VQADataset,
+                            WhitespaceTokenizer, build_answer_vocab,
+                            synthetic_samples, vqa_collate)
+from vivqa_tpu.models.config import (FusionConfig, TextEncoderConfig,
+                                     VisualEncoderConfig, VQAModelConfig)
+from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+from vivqa_tpu.train.optimizers import OptimizerConfig
+from vivqa_tpu.train.trainer import TrainerConfig, VQATrainer
+
+
+@pytest.fixture(scope="module")
+def setup(mesh8):
+    samples = synthetic_samples(24)
+    tok = WhitespaceTokenizer(max_length=8)
+    tok.build_vocab([s.question for s in samples] +
+                    [a for s in samples for a in s.answers])
+    a2i, _ = build_answer_vocab(samples)
+    aug = ImageAugmentation(image_size=16, mode="eval")
+    ds = VQADataset(samples, tok, a2i, aug, max_question_length=8)
+    loader = BatchLoader(ds, 8, vqa_collate, seed=1)
+    cfg = VQAModelConfig(
+        visual=VisualEncoderConfig(image_size=16, patch_size=8,
+                                   hidden_dim=32, num_layers=1, num_heads=2),
+        text=TextEncoderConfig(vocab_size=tok.vocab_size, hidden_dim=32,
+                               num_layers=1, num_heads=2, max_length=8),
+        fusion=FusionConfig(fusion_type="concat", hidden_dim=32,
+                            num_heads=2, num_layers=1),
+        num_answers=len(a2i))
+    model = VietnameseVQAModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    params = model.init(rng, jnp.zeros((2, 16, 16, 3)),
+                        jnp.ones((2, 8), jnp.int32))["params"]
+    return model, params, mesh8, loader
+
+
+def test_trainer_runs_and_checkpoints(setup, tmp_path):
+    model, params, mesh, loader = setup
+    cfg = TrainerConfig(num_epochs=2,
+                        optimizer=OptimizerConfig(learning_rate=5e-3),
+                        checkpoint_dir=str(tmp_path / "ck"),
+                        tensorboard_dir=str(tmp_path / "tb"),
+                        log_every=100, resume=False)
+    out = VQATrainer(cfg, model, params, mesh).train(loader, loader)
+    assert len(out["history"]) == 2
+    assert out["history"][1]["train_loss"] < out["history"][0]["train_loss"] + 0.5
+    assert "accuracy" in out["history"][0]
+    assert (tmp_path / "ck").exists()
+    # tensorboard event files written
+    assert any(Path(tmp_path / "tb").iterdir())
+
+    # resume picks up the saved epoch
+    cfg2 = cfg.replace(num_epochs=3, resume=True)
+    out2 = VQATrainer(cfg2, model, params, mesh).train(loader, loader)
+    epochs = [h["epoch"] for h in out2["history"]]
+    assert epochs and epochs[0] >= 2      # resumed past trained epochs
+
+
+def test_trainer_gradient_checkpointing(setup, tmp_path):
+    model, params, mesh, loader = setup
+    cfg = TrainerConfig(num_epochs=1, gradient_checkpointing=True,
+                        optimizer=OptimizerConfig(learning_rate=5e-3),
+                        checkpoint_dir=str(tmp_path / "ck2"),
+                        log_every=100, resume=False)
+    out = VQATrainer(cfg, model, params, mesh).train(loader)
+    assert np.isfinite(out["history"][0]["train_loss"])

@@ -50,6 +50,13 @@ class VisualEncoderConfig(ConfigBase):
     output_dim: int = 0             # 0 = no projection
     dropout: float = 0.0
     freeze: bool = False
+    # "vit"  = plain ViT (final LN over all tokens)
+    # "clip" = CLIP vision tower (pre-LN after embeddings; final LN on the
+    #          CLS/pooled path only, tokens returned unnormalized) — needed
+    #          for exact HF CLIP weight-import parity
+    vit_style: str = "vit"
+    activation: str = "gelu_tanh"   # gelu (exact) / quick_gelu for HF parity
+    dtype: str = "bfloat16"         # compute dtype (fp32 for parity tests)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +73,12 @@ class TextEncoderConfig(ConfigBase):
     output_dim: int = 0
     dropout: float = 0.1
     freeze: bool = False
+    # "pre" = pre-LayerNorm (our native default, better stability);
+    # "post" = BERT/PhoBERT/RoBERTa layout — required for exact HF
+    # weight-import parity
+    norm_style: str = "pre"
+    activation: str = "gelu_tanh"
+    dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

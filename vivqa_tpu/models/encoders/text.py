@@ -27,7 +27,7 @@ class TextEncoder(nn.Module):
     def __call__(self, input_ids: jnp.ndarray, attention_mask=None, *,
                  deterministic: bool = True):
         cfg = self.config
-        dtype = to_dtype("bfloat16")
+        dtype = to_dtype(cfg.dtype)
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
 
@@ -50,9 +50,14 @@ class TextEncoder(nn.Module):
             x = EncoderLayer(num_heads=cfg.num_heads,
                              d_ff=int(cfg.hidden_dim * cfg.mlp_ratio),
                              dropout=cfg.dropout, dtype=dtype,
+                             norm_style=cfg.norm_style,
+                             activation=cfg.activation,
                              name=f"layers_{i}")(x, mask=attn_mask,
                                                  deterministic=deterministic)
-        x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
+        if cfg.norm_style == "pre":
+            # post-LN (BERT family) has no final LayerNorm — keeping the
+            # layouts distinct preserves HF weight-import parity
+            x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
 
         pooled = pool_sequence(x, attention_mask, cfg.pooling)
         if cfg.output_dim:

@@ -27,7 +27,7 @@ class ViTEncoder(nn.Module):
     def __call__(self, pixel_values: jnp.ndarray, *, deterministic: bool = True):
         """pixel_values: (B, H, W, 3) in NHWC (TPU-native layout)."""
         cfg = self.config
-        dtype = to_dtype("bfloat16")
+        dtype = to_dtype(cfg.dtype)
         B = pixel_values.shape[0]
         if cfg.image_size < cfg.patch_size or cfg.image_size % cfg.patch_size:
             raise ValueError(
@@ -48,16 +48,25 @@ class ViTEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, n_patches + 1, cfg.hidden_dim), jnp.float32)
         x = x + pos.astype(dtype)
+        if cfg.vit_style == "clip":
+            # CLIP vision tower applies a LayerNorm right after embeddings
+            x = nn.LayerNorm(dtype=dtype, name="ln_pre")(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
 
         for i in range(cfg.num_layers):
             x = EncoderLayer(num_heads=cfg.num_heads,
                              d_ff=int(cfg.hidden_dim * cfg.mlp_ratio),
                              dropout=cfg.dropout, dtype=dtype,
+                             activation=cfg.activation,
                              name=f"layers_{i}")(x, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
-
-        pooled, tokens = x[:, 0], x[:, 1:]
+        if cfg.vit_style == "clip":
+            # CLIP's post_layernorm normalizes the pooled path only;
+            # spatial tokens leave the tower unnormalized (HF parity)
+            pooled = nn.LayerNorm(dtype=dtype, name="ln_final")(x[:, 0])
+            tokens = x[:, 1:]
+        else:
+            x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
+            pooled, tokens = x[:, 0], x[:, 1:]
         if cfg.output_dim:
             proj = nn.Dense(cfg.output_dim, use_bias=False, dtype=dtype,
                             name="projection")

@@ -28,6 +28,28 @@ def to_dtype(name: str) -> Dtype:
             "float16": jnp.float16}[name]
 
 
+def _gelu_exact(x):
+    return nn.gelu(x, approximate=False)
+
+
+def _quick_gelu(x):
+    return x * nn.sigmoid(1.702 * x)
+
+
+# "gelu_tanh" (fast approximation) is the native default; "gelu" (exact
+# erf) and "quick_gelu" exist for HF weight-import numerical parity
+# (BERT/ViT use exact gelu, CLIP uses quick_gelu).
+ACTIVATIONS = {"gelu_tanh": nn.gelu, "gelu": _gelu_exact,
+               "quick_gelu": _quick_gelu, "relu": nn.relu, "silu": nn.silu}
+
+
+def to_activation(name: str) -> Callable:
+    if name not in ACTIVATIONS:
+        raise ValueError(f"unknown activation '{name}' "
+                         f"(choices: {tuple(ACTIVATIONS)})")
+    return ACTIVATIONS[name]
+
+
 def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
     """Sinusoidal position table (reference PositionalEncoding,
     generative_vqa_model.py:454-476)."""
@@ -57,24 +79,39 @@ class MlpBlock(nn.Module):
 
 
 class EncoderLayer(nn.Module):
-    """Pre-LN self-attention encoder layer."""
+    """Self-attention encoder layer.
+
+    norm_style="pre" (default): x + attn(LN(x)); x + mlp(LN(x)) — our
+    native layout. norm_style="post": LN(x + attn(x)); LN(x + mlp(x)) —
+    BERT layout, needed for HF weight-import parity.
+    """
     num_heads: int
     d_ff: int
     dropout: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    norm_style: str = "pre"
+    activation: str = "gelu_tanh"
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        y = nn.MultiHeadDotProductAttention(
+        attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.dropout, name="self_attn",
-        )(y, y, mask=mask, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        y = MlpBlock(self.d_ff, dropout=self.dropout, dtype=self.dtype,
-                     name="mlp")(y, deterministic=deterministic)
-        return x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+            dropout_rate=self.dropout, name="self_attn")
+        mlp = MlpBlock(self.d_ff, dropout=self.dropout, dtype=self.dtype,
+                       activation=to_activation(self.activation),
+                       name="mlp")
+        ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        drop = nn.Dropout(self.dropout)
+        if self.norm_style == "post":
+            y = attn(x, x, mask=mask, deterministic=deterministic)
+            x = ln1(x + drop(y, deterministic=deterministic))
+            y = mlp(x, deterministic=deterministic)
+            return ln2(x + drop(y, deterministic=deterministic))
+        y = attn(ln1(x), ln1(x), mask=mask, deterministic=deterministic)
+        x = x + drop(y, deterministic=deterministic)
+        y = mlp(ln2(x), deterministic=deterministic)
+        return x + drop(y, deterministic=deterministic)
 
 
 class CrossAttentionLayer(nn.Module):

@@ -123,12 +123,19 @@ class ShardedStep:
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Move a host-initialized state onto the mesh (params by rules,
-    everything else replicated)."""
+    everything else replicated).
+
+    Leaves are COPIED, not aliased: the sharded train step donates the
+    state, and aliased caller-owned buffers (the original params used to
+    create it) would be deleted by the first step.
+    """
+    def put(tree, shardings):
+        return jax.device_put(jax.tree.map(jnp.copy, tree), shardings)
+
     rest_sh = replicated(mesh)
     return state.replace(
-        params=jax.device_put(state.params,
-                              shard_pytree_by_rules(state.params, mesh)),
-        opt_state=jax.device_put(state.opt_state,
-                                 shard_pytree_by_rules(state.opt_state, mesh)),
-        step=jax.device_put(state.step, rest_sh),
-        rng=jax.device_put(state.rng, rest_sh))
+        params=put(state.params, shard_pytree_by_rules(state.params, mesh)),
+        opt_state=put(state.opt_state,
+                      shard_pytree_by_rules(state.opt_state, mesh)),
+        step=put(state.step, rest_sh),
+        rng=put(state.rng, rest_sh))

@@ -1,0 +1,272 @@
+"""Generic VQA trainer — the "serious" configurable trainer.
+
+Counterpart of src/pipeline/trainer/vqa_trainer.py:77-1279 in the
+reference: YAML-driven config merge, gradient checkpointing
+(jax.checkpoint rematerialization instead of torch's
+checkpoint_sequential), bf16 policy (replaces AMP fp16 + GradScaler),
+early stopping, TensorBoard writer, SIGINT interrupt checkpoint, resume,
+per-step/epoch logging, training strategies per epoch, resource-manager
+integration, and a master `train()` loop.
+
+Works with any model exposing the classification contract
+(pixel_values, input_ids, attention_mask) -> {"logits", "aux_loss"}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import signal
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vivqa_tpu.config.base import ConfigBase
+from vivqa_tpu.data import device_prefetch
+from vivqa_tpu.pipelines.common import EarlyStopping, StepTimer
+from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
+from vivqa_tpu.train.losses import cross_entropy_loss
+from vivqa_tpu.train.optimizers import (OptimizerConfig, SchedulerConfig,
+                                        create_optimizer)
+from vivqa_tpu.train.state import (ShardedStep, TrainState, make_eval_step,
+                                   make_train_step, place_state)
+from vivqa_tpu.train.strategies import trainable_mask
+from vivqa_tpu.utils import get_pipeline_logger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig(ConfigBase):
+    num_epochs: int = 10
+    optimizer: OptimizerConfig = dataclasses.field(
+        default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = dataclasses.field(
+        default_factory=SchedulerConfig)
+    label_smoothing: float = 0.0
+    moe_aux_weight: float = 0.01
+    strategy: str = "full"                 # per-epoch strategies applied
+    gradient_checkpointing: bool = False   # remat the model forward
+    early_stopping_patience: int = 5
+    metric_for_best: str = "accuracy"
+    checkpoint_dir: str = "checkpoints/trainer"
+    max_checkpoints: int = 3
+    resume: bool = True
+    log_every: int = 10
+    tensorboard_dir: str = ""              # "" = disabled
+    profile_steps: tuple = ()              # (start, stop) step to trace
+    profile_dir: str = "profiles"
+    seed: int = 42
+
+
+class VQATrainer:
+    def __init__(self, config: TrainerConfig, model, params, mesh,
+                 logger=None, resource_manager=None):
+        self.config = config
+        self.model = model
+        self.mesh = mesh
+        self.log = logger or get_pipeline_logger()
+        self.rm = resource_manager
+        self._interrupted = False
+        self._params0 = params
+        self._tb = None
+        if config.tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(config.tensorboard_dir)
+            except ImportError:
+                self.log.warning("tensorboard unavailable; writer disabled")
+
+    # -- building blocks ---------------------------------------------------
+    def _loss_fn(self):
+        cfg = self.config
+        apply_base = self.model.apply
+
+        def fwd(params, px, ids, mask, rng):
+            return apply_base({"params": params}, px, ids, mask,
+                              deterministic=False,
+                              rngs={"dropout": rng, "router": rng})
+        if cfg.gradient_checkpointing:
+            # rematerialize the forward to trade FLOPs for HBM
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params, batch, rng, _apply):
+            out = fwd(params, batch["pixel_values"], batch["input_ids"],
+                      batch["attention_mask"], rng)
+            ce = cross_entropy_loss(out["logits"], batch["labels"],
+                                    label_smoothing=cfg.label_smoothing)
+            loss = ce + cfg.moe_aux_weight * out["aux_loss"]
+            acc = (jnp.argmax(out["logits"], -1) == batch["labels"]).mean()
+            return loss, {"accuracy": acc, "aux_loss": out["aux_loss"]}
+        return loss_fn
+
+    def _eval_fn(self, params, batch, apply_fn):
+        out = apply_fn({"params": params}, batch["pixel_values"],
+                       batch["input_ids"], batch["attention_mask"],
+                       deterministic=True)
+        acc = (jnp.argmax(out["logits"], -1) == batch["labels"]).astype(
+            jnp.float32)
+        return {"accuracy_sum": acc.sum(), "count": acc.shape[0],
+                "loss_sum": cross_entropy_loss(
+                    out["logits"], batch["labels"]) * acc.shape[0]}
+
+    def _build_state(self, steps_per_epoch: int, epoch: int = 0) -> TrainState:
+        cfg = self.config
+        sched = cfg.scheduler.replace(
+            total_steps=max(1, steps_per_epoch * cfg.num_epochs))
+        freeze = None
+        if cfg.strategy != "full":
+            freeze = trainable_mask(self._params0, cfg.strategy, epoch,
+                                    cfg.num_epochs)
+        tx = create_optimizer(cfg.optimizer, sched, self._params0, freeze)
+        state = TrainState.create(self.model.apply, self._params0, tx,
+                                  jax.random.PRNGKey(cfg.seed))
+        return place_state(state, self.mesh)
+
+    # -- logging -------------------------------------------------------------
+    def _log_step(self, step: int, metrics: Dict[str, float]) -> None:
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"train/{k}", float(v), step)
+
+    def _log_epoch(self, epoch: int, metrics: Dict[str, float]) -> None:
+        self.log.log_metrics(metrics, prefix=f"epoch{epoch}/")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"epoch/{k}", float(v), epoch)
+
+    # -- interrupt handling -----------------------------------------------------
+    def _install_sigint(self):
+        try:
+            prev = signal.getsignal(signal.SIGINT)
+
+            def handler(signum, frame):
+                self._interrupted = True
+                self.log.warning("SIGINT — finishing step then "
+                                 "checkpointing")
+            signal.signal(signal.SIGINT, handler)
+            return prev
+        except ValueError:
+            return None
+
+    # -- master loop -----------------------------------------------------------
+    def train(self, train_loader, val_loader=None) -> Dict:
+        cfg = self.config
+        log = self.log
+        state = self._build_state(len(train_loader))
+        builder = ShardedStep(self.mesh, make_train_step(self._loss_fn()),
+                              make_eval_step(self._eval_fn))
+        jit_train, jit_eval, state_sh, batch_sh = builder.compile(state)
+
+        ckpt = CheckpointManager(CheckpointConfig(
+            directory=cfg.checkpoint_dir, max_to_keep=cfg.max_checkpoints,
+            best_metric=cfg.metric_for_best))
+        start_epoch = 0
+        if cfg.resume and ckpt.latest_step() is not None:
+            restored, meta = ckpt.restore()
+            state = state.replace(params=jax.device_put(
+                restored["params"],
+                jax.tree.map(lambda x: x.sharding, state.params)))
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            log.success(f"resumed from step {ckpt.latest_step()} "
+                        f"(epoch {start_epoch})")
+
+        stopper = EarlyStopping(patience=cfg.early_stopping_patience,
+                                mode="max")
+        prev_sigint = self._install_sigint()
+        history = []
+        timer = StepTimer()
+        if self.rm is not None:
+            self.rm.start_training(cfg.num_epochs, len(train_loader))
+            self.rm.register_model(
+                "trainer_state", lambda: jax.device_get(state.params))
+
+        try:
+            for epoch in range(start_epoch, cfg.num_epochs):
+                if self.rm is not None:
+                    self.rm.start_epoch(epoch)
+                losses = []
+                timer.reset()
+                for i, batch in enumerate(
+                        device_prefetch(iter(train_loader),
+                                        sharding=batch_sh)):
+                    dev = {k: v for k, v in batch.items()
+                           if hasattr(v, "shape")}
+                    step = int(state.step)
+                    if cfg.profile_steps and step == cfg.profile_steps[0]:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    timer.tic()
+                    state, metrics = jit_train(state, dev)
+                    loss = float(metrics["loss"])
+                    timer.toc(dev["labels"].shape[0])
+                    if cfg.profile_steps and step == cfg.profile_steps[1]:
+                        jax.profiler.stop_trace()
+                        log.success(f"profile trace in {cfg.profile_dir}")
+                    losses.append(loss)
+                    if i % cfg.log_every == 0:
+                        log.info("epoch %d step %d loss=%.4f", epoch, i, loss)
+                        self._log_step(step, {"loss": loss,
+                                              "accuracy": float(
+                                                  metrics["accuracy"])})
+                    if self.rm is not None:
+                        self.rm.update_training_step(epoch, i, loss=loss)
+                        if self.rm.should_shutdown():
+                            self._interrupted = True
+                    if self._interrupted:
+                        break
+
+                epoch_metrics = {
+                    "train_loss": float(np.mean(losses)) if losses else 0.0,
+                    "qa_pairs_per_sec": timer.items_per_sec}
+                if val_loader is not None:
+                    epoch_metrics.update(self.evaluate(
+                        state, jit_eval, val_loader, batch_sh))
+                history.append({"epoch": epoch, **epoch_metrics})
+                self._log_epoch(epoch, epoch_metrics)
+                if self.rm is not None:
+                    self.rm.end_epoch(epoch,
+                                      epoch_metrics.get(cfg.metric_for_best))
+
+                metric = epoch_metrics.get(cfg.metric_for_best, 0.0)
+                if stopper.update(metric) or self._interrupted:
+                    ckpt.save(int(state.step),
+                              {"params": jax.device_get(state.params)},
+                              metadata={"epoch": epoch,
+                                        "interrupted": self._interrupted},
+                              metrics={cfg.metric_for_best: metric})
+                if self._interrupted:
+                    log.warning("interrupt checkpoint saved; stopping")
+                    break
+                if stopper.should_stop:
+                    log.warning(f"early stopping at epoch {epoch}")
+                    break
+        finally:
+            if prev_sigint is not None:
+                signal.signal(signal.SIGINT, prev_sigint)
+            if self._tb is not None:
+                self._tb.flush()
+            if self.rm is not None:
+                if self._interrupted:
+                    self.rm.fail_training("interrupted")
+                else:
+                    self.rm.complete_training()
+            ckpt.close()
+
+        return {"state": state, "history": history,
+                "best_metric": stopper.best,
+                "interrupted": self._interrupted}
+
+    def evaluate(self, state, jit_eval, loader, batch_sh) -> Dict[str, float]:
+        total, correct, loss_sum = 0, 0.0, 0.0
+        for batch in device_prefetch(iter(loader), sharding=batch_sh):
+            dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
+            out = jit_eval(state, dev)
+            nv = batch.get("_num_valid", int(out["count"]))
+            # padded rows repeat real rows; rescale sums by valid fraction
+            frac = nv / max(int(out["count"]), 1)
+            total += nv
+            correct += float(out["accuracy_sum"]) * frac
+            loss_sum += float(out["loss_sum"]) * frac
+        return {"accuracy": correct / max(total, 1),
+                "val_loss": loss_sum / max(total, 1)}
