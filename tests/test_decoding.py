@@ -97,3 +97,25 @@ def test_generative_with_moe(model_and_params):
                   "router": jax.random.PRNGKey(1)}, px, q, dec)
     out = m.apply(var, px, q, dec)
     assert float(out["aux_loss"]) > 0.0
+
+
+@pytest.mark.parametrize("position", ["decoder", "both"])
+def test_generative_moe_decoder_position(position):
+    """moe_position='decoder' — declared-but-missing in the reference."""
+    cfg = CFG.replace(moe=MoEModelConfig(use_moe=True, num_experts=2,
+                                         top_k=1, expert_hidden_dim=32,
+                                         moe_position=position))
+    m = GenerativeVQAModel(cfg)
+    px = jnp.zeros((1, 32, 32, 3))
+    q = jnp.ones((1, 8), jnp.int32)
+    dec = jnp.zeros((1, 6), jnp.int32)
+    var = m.init({"params": jax.random.PRNGKey(0),
+                  "router": jax.random.PRNGKey(1)}, px, q, dec)
+    assert "decoder_moe" in var["params"]["decoder"]
+    out = m.apply(var, px, q, dec)
+    assert float(out["aux_loss"]) > 0.0
+    # cached decode path still works with the decoder-side MoE
+    dc = DecodeConfig(max_length=6, strategy="greedy", bos_token_id=0,
+                      eos_token_id=49, pad_token_id=1)
+    seqs, _ = jax.jit(build_generate_fn(m, dc))(var["params"], px, q)
+    assert seqs.shape == (1, 6)

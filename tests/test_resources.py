@@ -38,10 +38,14 @@ def test_monitor_thread_and_alerts():
 
 
 def test_resource_monitor_aggregate():
-    rm = ResourceMonitor(ResourceConfig())
+    # thresholds above 100% so a fully loaded CI machine can't trip them
+    cfg = ResourceConfig(thresholds=ResourceThresholds(
+        cpu_critical=200.0, memory_critical=200.0, disk_critical=200.0,
+        device_memory_critical=200.0))
+    rm = ResourceMonitor(cfg)
     snap = rm.snapshot()
     assert "memory" in snap and "cpu" in snap
-    assert not rm.is_critical()   # normal machine state
+    assert not rm.is_critical()
 
 
 def test_backup_handler_and_rotation(tmp_path):

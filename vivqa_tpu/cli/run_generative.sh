@@ -1,0 +1,8 @@
+#!/usr/bin/env bash
+# Generative VQA pipeline wrapper (reference: src/cli/ generative scripts).
+set -euo pipefail
+GREEN='\033[0;32m'; CYAN='\033[0;36m'; NC='\033[0m'
+echo -e "${CYAN}========================================${NC}"
+echo -e "${GREEN}  ViVQA TPU — generative pipeline${NC}"
+echo -e "${CYAN}========================================${NC}"
+exec python -m vivqa_tpu.pipelines.generative_vqa_pipeline "$@"

@@ -62,8 +62,11 @@ def load_raw_data(csv_path: str | Path, image_dir: str | Path | None = None,
             raise ValueError(f"CSV missing column '{col}' "
                              f"(has: {list(df.columns)})")
     index = build_image_index(image_dir) if image_dir else {}
+    from vivqa_tpu.utils.memory_guard import get_memory_guard
+    guard = get_memory_guard()
     samples: List[OneSample] = []
     for _, row in df.iterrows():
+        guard.check()  # warn/kill on runaway RAM (reference checks /100 rows)
         img = str(row[image_col])
         base = os.path.basename(img)
         path = index.get(base) or index.get(os.path.splitext(base)[0]) or img

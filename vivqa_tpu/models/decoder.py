@@ -28,7 +28,7 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, decoder_input_ids, encoder_hidden, encoder_mask=None,
                  decoder_mask=None, *, deterministic: bool = True,
-                 decode: bool = False):
+                 decode: bool = False, return_aux: bool = False):
         """Teacher-forcing mode (decode=False): full (B, L) ids, causal mask.
         Incremental mode (decode=True): (B, 1) ids, cache holds the past.
 
@@ -78,6 +78,20 @@ class TransformerDecoder(nn.Module):
                 x, encoder_hidden.astype(dtype), self_mask=self_mask,
                 cross_mask=cross_mask, deterministic=deterministic,
                 decode=decode)
+
+        moe_aux = jnp.zeros((), jnp.float32)
+        if cfg.moe.use_moe and cfg.moe.moe_position in ("decoder", "both"):
+            # moe_position='decoder' — declared but unimplemented in the
+            # reference (SURVEY "declared-but-missing surface"). Dense MoE
+            # is position-independent, so the same layer serves both
+            # teacher forcing and single-token cached decode.
+            from vivqa_tpu.models.moe.layer import create_moe_layer
+            from vivqa_tpu.models.vqa_model import moe_config_from_model
+            moe = create_moe_layer(
+                moe_config_from_model(cfg, cfg.decoder_dim),
+                name="decoder_moe")
+            x, aux = moe(x, deterministic=deterministic)
+            moe_aux = aux["aux_loss"]
         x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
 
         if cfg.tie_embeddings:
@@ -85,4 +99,7 @@ class TransformerDecoder(nn.Module):
         else:
             logits = nn.Dense(cfg.vocab_size, dtype=jnp.float32,
                               name="lm_head")(x)
-        return logits.astype(jnp.float32)
+        logits = logits.astype(jnp.float32)
+        if return_aux:
+            return logits, moe_aux
+        return logits

@@ -107,10 +107,11 @@ class GenerativeVQAModel(nn.Module):
                  deterministic: bool = True):
         enc = self.encode(pixel_values, question_ids, question_mask,
                           expert_mask, deterministic=deterministic)
-        logits = self.decoder(decoder_input_ids, enc["memory"],
-                              enc["memory_mask"], decoder_mask,
-                              deterministic=deterministic)
-        return {"logits": logits, "aux_loss": enc["aux_loss"],
+        logits, decoder_aux = self.decoder(
+            decoder_input_ids, enc["memory"], enc["memory_mask"],
+            decoder_mask, deterministic=deterministic, return_aux=True)
+        return {"logits": logits,
+                "aux_loss": enc["aux_loss"] + decoder_aux,
                 "moe_metrics": enc["moe_metrics"]}
 
 

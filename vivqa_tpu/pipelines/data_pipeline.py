@@ -69,6 +69,10 @@ class DataPipeline:
 
         # 1. load raw
         if samples is None:
+            if not cfg.csv_path:
+                raise ValueError(
+                    "data.csv_path is required (set it in the YAML config "
+                    "or pass --csv-path)")
             samples = load_raw_data(cfg.csv_path, cfg.image_dir or None,
                                     max_samples=cfg.max_samples or None)
         log.success(f"step 1/9 loaded {len(samples)} samples")

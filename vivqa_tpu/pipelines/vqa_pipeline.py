@@ -52,6 +52,9 @@ class VQAPipeline:
 
     def run(self) -> dict:
         cfg = self.config
+        if cfg.mode not in ("train", "evaluate", "inference"):
+            raise ValueError(f"unknown mode '{cfg.mode}' "
+                             "(choices: train, evaluate, inference)")
         log = self.log
         t0 = time.time()
         log.section("VIETNAMESE VQA PIPELINE (TPU)")

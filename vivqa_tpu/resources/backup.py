@@ -39,7 +39,10 @@ class BackupHandler:
         if not self._providers:
             return None
         with self._lock:
-            stamp = time.strftime("%Y%m%d_%H%M%S")
+            # microsecond suffix: backups triggered in the same second
+            # (e.g. rapid alerts) must not collide — a duplicate path would
+            # alias two entries in the rotation list
+            stamp = time.strftime("%Y%m%d_%H%M%S") + f"_{time.time_ns() % 1_000_000:06d}"
             root = Path(self.config.emergency_dir) / f"backup_{stamp}"
             root.mkdir(parents=True, exist_ok=True)
             import jax
