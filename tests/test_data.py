@@ -154,3 +154,16 @@ def test_batch_loader_static_shapes_and_prefetch(mesh8):
     e1 = [s for s in loader][0]["labels"]
     e2 = [s for s in loader][0]["labels"]
     assert not np.array_equal(e1, e2)
+
+
+def test_save_and_load_data_split(tmp_path):
+    from vivqa_tpu.data.actions import load_data_split, save_data
+    samples = synthetic_samples(6)
+    written = save_data({"train": samples[:4], "val": samples[4:]},
+                        tmp_path)
+    assert set(written) == {"train", "val"}
+    back = load_data_split(tmp_path, "train")
+    assert len(back) == 4
+    assert back[0].question == samples[0].question
+    ranged = load_data_split(tmp_path, "train", start=1, end=3)
+    assert len(ranged) == 2

@@ -9,13 +9,12 @@ key-findings prose, run_full_analysis + JSON save.
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import json
 import re
 from pathlib import Path
 from typing import Dict, List, Optional
 
-from vivqa_tpu.ablation.evaluator import AblationEvaluator, ExpertImportance
+from vivqa_tpu.ablation.evaluator import AblationEvaluator
 
 
 @dataclasses.dataclass

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import List, Optional, Tuple
+from typing import List
 
 from vivqa_tpu.config.base import ConfigBase
 

@@ -17,7 +17,7 @@ runtime. Here modifications are DATA, not patches:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import csv
 import json
 from pathlib import Path
-from typing import List
 
 from vivqa_tpu.ablation.analyzer import AblationAnalyzer
 from vivqa_tpu.ablation.evaluator import (AblationEvaluator,

@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 from typing import List, Optional
 
-from vivqa_tpu.ablation.config import (AblationConfig, AblationSearchSpace)
+from vivqa_tpu.ablation.config import (AblationConfig)
 from vivqa_tpu.utils import get_pipeline_logger
 
 

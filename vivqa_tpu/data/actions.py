@@ -105,6 +105,44 @@ def split_data(samples: Sequence[OneSample], train_ratio: float = 0.8,
     return train, val, test
 
 
+def save_data(splits: Dict[str, Sequence[OneSample]],
+              out_dir: str | Path, copy_images: bool = False) -> Dict[str, str]:
+    """Persist split metadata (and optionally copy images into
+    processed/<split>/) — reference save_data, data_actions.py:321-367."""
+    import json
+    import shutil
+    out_dir = Path(out_dir)
+    written = {}
+    for split, samples in splits.items():
+        split_dir = out_dir / split
+        split_dir.mkdir(parents=True, exist_ok=True)
+        records = []
+        for s in samples:
+            path = s.image_path
+            if copy_images and os.path.isfile(s.image_path):
+                dest = split_dir / "images" / os.path.basename(s.image_path)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(s.image_path, dest)
+                path = str(dest)
+            records.append({"image_path": path, "question": s.question,
+                            "answers": s.answers})
+        meta = split_dir / "metadata.json"
+        meta.write_text(json.dumps(records, ensure_ascii=False, indent=2))
+        written[split] = str(meta)
+    return written
+
+
+def load_data_split(out_dir: str | Path, split: str,
+                    start: int = 0, end: int | None = None) -> List[OneSample]:
+    """RAM-frugal per-split loading by index range (reference
+    load_data_split, data_actions.py:203-318)."""
+    import json
+    meta = Path(out_dir) / split / "metadata.json"
+    records = json.loads(meta.read_text())[start:end]
+    return [OneSample(image_path=r["image_path"], question=r["question"],
+                      answers=list(r["answers"])) for r in records]
+
+
 def data_statistics(samples: Sequence[OneSample]) -> Dict:
     """Corpus stats (reference data_pipeline step 3, :262-310)."""
     from collections import Counter

@@ -5,7 +5,7 @@ These quirks define metric parity — keep them exactly."""
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 from vivqa_tpu.data.schema import OneSample
 

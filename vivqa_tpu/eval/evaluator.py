@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from vivqa_tpu.config.base import ConfigBase
-from vivqa_tpu.metrics import (BLEUScore, ExactMatchAccuracy, F1Score,
+from vivqa_tpu.metrics import (ExactMatchAccuracy, F1Score,
                                TopKAccuracy, VQAAccuracy, WUPS,
                                classify_question_type)
 from vivqa_tpu.utils import get_pipeline_logger

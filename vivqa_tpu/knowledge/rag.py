@@ -12,7 +12,7 @@ fusion is one batched flax module.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,6 @@ import math
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 
 from vivqa_tpu.knowledge.document_store import Document, DocumentStore
 from vivqa_tpu.knowledge.vector_store import BaseVectorStore

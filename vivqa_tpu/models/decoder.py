@@ -12,7 +12,6 @@ decode step is O(L) — and the whole generation loop is a single compiled
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -29,8 +29,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vivqa_tpu.models.moe.config import (ExpertConfig, MoEConfig, RouterConfig,
-                                         VQAMoEConfig)
+from vivqa_tpu.models.moe.config import (ExpertConfig, MoEConfig, VQAMoEConfig)
 from vivqa_tpu.models.moe.experts import (MultimodalExpert, StackedExperts,
                                           TextExpert, VisionExpert,
                                           create_expert)

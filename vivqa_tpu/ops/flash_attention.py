@@ -23,7 +23,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # Pallas is TPU-only at runtime; import is safe everywhere
     from jax.experimental import pallas as pl

@@ -10,7 +10,7 @@ ranges exactly like the reference's step 9 (:567-615).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

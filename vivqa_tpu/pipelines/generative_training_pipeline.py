@@ -15,7 +15,7 @@ token-by-token Python loop re-running the full decoder
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

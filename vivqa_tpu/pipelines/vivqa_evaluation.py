@@ -14,7 +14,6 @@ import argparse
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional
 
 import jax
 import numpy as np

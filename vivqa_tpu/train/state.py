@@ -16,14 +16,13 @@ the state gives in-place buffer reuse in HBM.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vivqa_tpu.parallel.mesh import (batch_sharding, replicated,
                                      shard_pytree_by_rules)

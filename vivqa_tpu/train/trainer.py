@@ -16,9 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import signal
-import time
-from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +53,7 @@ class TrainerConfig(ConfigBase):
     resume: bool = True
     log_every: int = 10
     tensorboard_dir: str = ""              # "" = disabled
+    wandb_project: str = ""                # "" = disabled (needs wandb pkg)
     profile_steps: tuple = ()              # (start, stop) step to trace
     profile_dir: str = "profiles"
     seed: int = 42
@@ -77,6 +76,14 @@ class VQATrainer:
                 self._tb = SummaryWriter(config.tensorboard_dir)
             except ImportError:
                 self.log.warning("tensorboard unavailable; writer disabled")
+        self._wandb = None
+        if config.wandb_project:
+            try:
+                import wandb
+                self._wandb = wandb.init(project=config.wandb_project,
+                                         config=config.to_dict())
+            except ImportError:
+                self.log.warning("wandb unavailable; writer disabled")
 
     # -- building blocks ---------------------------------------------------
     def _loss_fn(self):
@@ -129,12 +136,18 @@ class VQATrainer:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"train/{k}", float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({f"train/{k}": float(v)
+                             for k, v in metrics.items()}, step=step)
 
     def _log_epoch(self, epoch: int, metrics: Dict[str, float]) -> None:
         self.log.log_metrics(metrics, prefix=f"epoch{epoch}/")
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"epoch/{k}", float(v), epoch)
+        if self._wandb is not None:
+            self._wandb.log({f"epoch/{k}": float(v)
+                             for k, v in metrics.items()})
 
     # -- interrupt handling -----------------------------------------------------
     def _install_sigint(self):
@@ -246,6 +259,8 @@ class VQATrainer:
                 signal.signal(signal.SIGINT, prev_sigint)
             if self._tb is not None:
                 self._tb.flush()
+            if self._wandb is not None:
+                self._wandb.finish()
             if self.rm is not None:
                 if self._interrupted:
                     self.rm.fail_training("interrupted")
