@@ -51,7 +51,8 @@ def main():
         num_answers=1000)
     model = VietnameseVQAModel(cfg)
 
-    B = 64 * n_chips
+    import os
+    B = int(os.environ.get("BENCH_BATCH", 64)) * n_chips
     rng = jax.random.PRNGKey(0)
     batch = {
         "pixel_values": jnp.asarray(
@@ -83,17 +84,42 @@ def main():
         mesh, make_train_step(loss_fn)).compile(state)
     batch = jax.device_put(batch, jax.tree.map(lambda _: batch_sh, batch))
 
-    # warmup (compile) + timed steps
-    for _ in range(3):
-        state, m = jit_train(state, batch)
-    jax.block_until_ready(m["loss"])
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = jit_train(state, batch)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    # Measure pure device step time by chaining n_steps train steps
+    # inside ONE jitted fori_loop (exactly what a production loop does —
+    # no host sync per step), with a host float() as the end barrier.
+    # A trivial program measures the tunnel RTT floor to subtract.
+    # (Per-call python loops through the axon tunnel pay ~25ms RTT per
+    # step — a measurement artifact, not device time.)
+    train_step = make_train_step(loss_fn)
+    n_steps = 20
 
+    def many(state, batch):
+        def body(_, s):
+            s2, _m = train_step(s, batch)
+            return s2
+        final = jax.lax.fori_loop(0, n_steps, body, state)
+        return final, jnp.float32(0.0) + final.step.astype(jnp.float32)
+
+    from vivqa_tpu.parallel import batch_sharding as _bs, replicated as _rep
+    jit_many = jax.jit(many)
+    state2, marker = jit_many(state, batch)
+    float(marker)                                  # warmup + compile
+
+    def trivial(state):
+        return state.step.astype(jnp.float32)
+    jit_trivial = jax.jit(trivial)
+    float(jit_trivial(state2))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rtt_probe = float(jit_trivial(state2))
+    rtt = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    state2, marker = jit_many(state2, batch)
+    float(marker)
+    total = time.perf_counter() - t0
+
+    dt = max(total - rtt, 1e-9)
     qps_per_chip = (B * n_steps) / dt / n_chips
 
     vs_baseline = 1.0

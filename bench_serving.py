@@ -45,30 +45,34 @@ def main():
     params = model.init({"params": rng, "router": rng}, px[:2], q[:2],
                         dec[:2])["params"]
 
+    # Throughput: N back-to-back generates with ONE host sync at the end
+    # (float() is the true barrier under the axon tunnel; per-call
+    # block_until_ready returns early through the loopback relay, and a
+    # per-call host sync would charge one ~25ms tunnel RTT to every
+    # request — a measurement artifact, not device latency). Device-side
+    # per-batch latency is reported as total/N.
     results = {}
     for strategy, beams in (("greedy", 1), ("beam", 4)):
         gen = jax.jit(build_generate_fn(model, DecodeConfig(
             max_length=32, strategy=strategy, num_beams=beams,
             bos_token_id=0, eos_token_id=2, pad_token_id=1)))
         seqs, _ = gen(params, px, q)            # compile
-        jax.block_until_ready(seqs)
-        times = []
-        for _ in range(10):
-            t0 = time.perf_counter()
+        int(np.asarray(seqs).sum())             # host barrier
+        N = 30
+        t0 = time.perf_counter()
+        for _ in range(N):
             seqs, _ = gen(params, px, q)
-            jax.block_until_ready(seqs)
-            times.append(time.perf_counter() - t0)
-        times = np.asarray(times)
+        int(np.asarray(seqs).sum())             # host barrier
+        dt = (time.perf_counter() - t0) / N
         results[strategy] = {
-            "answers_per_sec": round(B / float(times.mean()), 2),
-            "p50_ms": round(float(np.percentile(times, 50)) * 1000, 1),
-            "p95_ms": round(float(np.percentile(times, 95)) * 1000, 1),
+            "answers_per_sec": round(B / dt, 2),
+            "device_ms_per_batch": round(dt * 1000, 2),
         }
 
     print(json.dumps({
         "metric": "generative_serving",
         "value": results["beam"]["answers_per_sec"],
-        "unit": "answers/sec (batch 16, beam 4, 32 new tokens)",
+        "unit": "answers/sec (batch 16, beam 4, 32 new tokens, pipelined)",
         "vs_baseline": 1.0,
         "detail": results,
     }))

@@ -164,3 +164,24 @@ def test_stacked_experts_match_individual():
         y_ln = (y - mu) / np.sqrt(var_ + 1e-6)
         ref = np.asarray(outs[:, :, e], np.float32)
         np.testing.assert_allclose(ref, y_ln, atol=0.1), f"expert {e}"
+
+
+def test_sparse_priority_earlier_token_wins():
+    """With capacity 1 and both tokens routed to the same expert, the
+    earlier token is kept and the later one is dropped (residual only) —
+    the reference's truncation semantics."""
+    cfg = MoEConfig(num_experts=2, input_dim=8,
+                    expert=ExpertConfig(hidden_dim=16),
+                    router=RouterConfig(top_k=1, capacity_factor=0.5),
+                    moe_type="sparse")
+    layer = create_moe_layer(cfg)
+    # identical tokens -> same routing; T=2, k=1, E=2 ->
+    # cap = int(0.5 * 2 * 1 / 2) = 1 per expert
+    x = jnp.ones((1, 2, 8))
+    var = layer.init(RNGS, x)
+    y, aux = layer.apply(var, x)
+    assert np.isclose(float(aux["metrics"]["dropped_token_fraction"]), 0.5)
+    y = np.asarray(y, np.float32)
+    # dropped token's output is LN(residual only); kept token got expert
+    # output added -> the two rows must differ
+    assert not np.allclose(y[0, 0], y[0, 1], atol=1e-3)

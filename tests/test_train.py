@@ -187,7 +187,7 @@ def test_sharded_train_step_loss_decreases(mesh8):
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 5
     # MoE expert stack must actually be sharded over the model axis (EP)
-    moe_w = state.params["moe"]["experts"]["w_in"]
+    moe_w = state.params["moe"]["experts_w_in"]
     assert moe_w.sharding.spec == P("model", None, None)
     # batch was consumed sharded over data axis
     assert batch["pixel_values"].sharding.spec == P("data")

@@ -79,11 +79,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 #   - attention out kernel      (d_model, d_model):   shard input   -> P('model', None)
 #   - MoE stacked expert weights (E, ...):            shard experts -> P('model', ...)
 DEFAULT_PARTITION_RULES: tuple[tuple[str, P], ...] = (
-    # MoE experts: leading expert axis sharded over 'model' (expert parallel)
-    (r"experts?/.*w_in", P(MODEL_AXIS, None, None)),
-    (r"experts?/.*w_out", P(MODEL_AXIS, None, None)),
-    (r"experts?/.*w_gate", P(MODEL_AXIS, None, None)),
-    (r"experts?/.*(bias_in|bias_out|bias_gate)", P(MODEL_AXIS, None)),
+    # MoE experts: leading expert axis sharded over 'model' (expert
+    # parallel). Matches both nested ("moe/experts/w_in") and inlined
+    # ("moe/experts_w_in") stacked-weight layouts.
+    (r"experts?[/_].*w_in", P(MODEL_AXIS, None, None)),
+    (r"experts?[/_].*w_out", P(MODEL_AXIS, None, None)),
+    (r"experts?[/_].*w_gate", P(MODEL_AXIS, None, None)),
+    (r"experts?[/_].*(bias_in|bias_out|bias_gate)", P(MODEL_AXIS, None)),
     # Attention projections
     (r"(self_attn|cross_attn|attention|attn)/(query|key|value|q_proj|k_proj|v_proj)/kernel", P(None, MODEL_AXIS)),
     (r"(self_attn|cross_attn|attention|attn)/(out|o_proj|out_proj)/kernel", P(MODEL_AXIS, None)),

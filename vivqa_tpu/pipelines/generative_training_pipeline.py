@@ -127,13 +127,15 @@ class GenerativeTrainingPipeline:
                 dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
                 timer.tic()
                 state, metrics = jit_train(state, dev)
-                loss = float(metrics["loss"])
-                timer.toc(int(metrics["n_tokens"]))
-                losses.append(loss)
+                losses.append(metrics["loss"])     # stays on device
+                n_tok = int(metrics["n_tokens"]) if i == 0 else n_tok
                 if i % cfg.log_every == 0:
+                    loss = float(metrics["loss"])
                     log.info("epoch %d step %d loss=%.4f ppl=%.2f",
                              epoch, i, loss,
                              float(perplexity(jnp.asarray(loss))))
+                timer.toc(n_tok)
+            losses = [float(x) for x in losses]
             train_loss = float(np.mean(losses)) if losses else 0.0
 
             val = self._validate(state, gen_fn, val_loader, tokenizer,

@@ -145,12 +145,16 @@ class TrainingPipeline:
                 dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
                 timer.tic()
                 state, metrics = jit_train(state, dev)
-                loss = float(metrics["loss"])
-                timer.toc(dev["labels"].shape[0])
-                losses.append(loss)
+                # keep the loss ON DEVICE: a float() here would block
+                # dispatch every step (expensive over remote tunnels);
+                # host conversion happens on log steps + at epoch end
+                losses.append(metrics["loss"])
                 if i % cfg.log_every == 0:
                     log.info("epoch %d step %d loss=%.4f acc=%.3f",
-                             epoch, i, loss, float(metrics["accuracy"]))
+                             epoch, i, float(metrics["loss"]),
+                             float(metrics["accuracy"]))
+                timer.toc(dev["labels"].shape[0])
+            losses = [float(x) for x in losses]
             train_loss = float(np.mean(losses)) if losses else 0.0
 
             # -- validate epoch ---------------------------------------------

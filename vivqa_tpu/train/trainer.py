@@ -211,26 +211,27 @@ class VQATrainer:
                         jax.profiler.start_trace(cfg.profile_dir)
                     timer.tic()
                     state, metrics = jit_train(state, dev)
-                    loss = float(metrics["loss"])
+                    losses.append(metrics["loss"])   # stays on device
                     timer.toc(dev["labels"].shape[0])
                     if cfg.profile_steps and step == cfg.profile_steps[1]:
                         jax.profiler.stop_trace()
                         log.success(f"profile trace in {cfg.profile_dir}")
-                    losses.append(loss)
                     if i % cfg.log_every == 0:
+                        loss = float(metrics["loss"])
                         log.info("epoch %d step %d loss=%.4f", epoch, i, loss)
                         self._log_step(step, {"loss": loss,
                                               "accuracy": float(
                                                   metrics["accuracy"])})
-                    if self.rm is not None:
-                        self.rm.update_training_step(epoch, i, loss=loss)
-                        if self.rm.should_shutdown():
-                            self._interrupted = True
+                        if self.rm is not None:
+                            self.rm.update_training_step(epoch, i, loss=loss)
+                    if self.rm is not None and self.rm.should_shutdown():
+                        self._interrupted = True
                     if self._interrupted:
                         break
 
                 epoch_metrics = {
-                    "train_loss": float(np.mean(losses)) if losses else 0.0,
+                    "train_loss": float(np.mean([float(x) for x in losses]))
+                    if losses else 0.0,
                     "qa_pairs_per_sec": timer.items_per_sec}
                 if val_loader is not None:
                     epoch_metrics.update(self.evaluate(
