@@ -70,7 +70,12 @@ def main():
         SchedulerConfig(name="warmup_cosine", warmup_steps=100,
                         total_steps=10000),
         params=params)
-    state = place_state(TrainState.create(model.apply, params, tx, rng), mesh)
+    state = TrainState.create(model.apply, params, tx, rng)
+    if n_chips > 1:
+        # multi-chip: rule-based placement (DP/TP/EP). On a single chip
+        # placement is semantically a no-op but switches XLA into SPMD
+        # partitioning mode, which pessimizes several fusions — skip it.
+        state = place_state(state, mesh)
 
     def loss_fn(params, batch, rng, apply_fn):
         out = apply_fn({"params": params}, batch["pixel_values"],
@@ -80,47 +85,18 @@ def main():
         loss = cross_entropy_loss(out["logits"], batch["labels"])
         return loss + 0.01 * out["aux_loss"], {}
 
-    jit_train, _, _, batch_sh = ShardedStep(
-        mesh, make_train_step(loss_fn)).compile(state)
-    batch = jax.device_put(batch, jax.tree.map(lambda _: batch_sh, batch))
+    if n_chips > 1:
+        jit_train, _, _, batch_sh = ShardedStep(
+            mesh, make_train_step(loss_fn)).compile(state)
+        batch = jax.device_put(batch, jax.tree.map(lambda _: batch_sh, batch))
 
-    # Measure pure device step time by chaining n_steps train steps
-    # inside ONE jitted fori_loop (exactly what a production loop does —
-    # no host sync per step), with a host float() as the end barrier.
-    # A trivial program measures the tunnel RTT floor to subtract.
-    # (Per-call python loops through the axon tunnel pay ~25ms RTT per
-    # step — a measurement artifact, not device time.)
-    train_step = make_train_step(loss_fn)
-    n_steps = 20
-
-    def many(state, batch):
-        def body(_, s):
-            s2, _m = train_step(s, batch)
-            return s2
-        final = jax.lax.fori_loop(0, n_steps, body, state)
-        return final, jnp.float32(0.0) + final.step.astype(jnp.float32)
-
-    from vivqa_tpu.parallel import batch_sharding as _bs, replicated as _rep
-    jit_many = jax.jit(many)
-    state2, marker = jit_many(state, batch)
-    float(marker)                                  # warmup + compile
-
-    def trivial(state):
-        return state.step.astype(jnp.float32)
-    jit_trivial = jax.jit(trivial)
-    float(jit_trivial(state2))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        rtt_probe = float(jit_trivial(state2))
-    rtt = (time.perf_counter() - t0) / 3
-
-    t0 = time.perf_counter()
-    state2, marker = jit_many(state2, batch)
-    float(marker)
-    total = time.perf_counter() - t0
-
-    dt = max(total - rtt, 1e-9)
-    qps_per_chip = (B * n_steps) / dt / n_chips
+    # Device step time via the calibrated chained-fori methodology
+    # (see vivqa_tpu/utils/profiling.py for why naive timing lies
+    # through remote-dispatch tunnels).
+    from vivqa_tpu.utils.profiling import time_train_steps
+    per_step = time_train_steps(make_train_step(loss_fn), state, batch,
+                                steps=20)
+    qps_per_chip = B / per_step / n_chips
 
     vs_baseline = 1.0
     if BASELINE_FILE.exists():

@@ -119,3 +119,40 @@ def test_logger(tmp_path, capsys):
     assert (tmp_path / "stats.json").exists()
     out = capsys.readouterr().out
     assert "SECTION" in out and "[ok]" in out
+
+
+def test_profiling_time_chained():
+    from vivqa_tpu.utils.profiling import measure_rtt, time_chained
+    import jax.numpy as jnp
+
+    def fn(x):
+        return x @ x.T
+
+    x = jnp.ones((64, 64))
+    per = time_chained(fn, (x,), steps=5)
+    assert per > 0
+    rtt = measure_rtt(x)
+    assert rtt >= 0
+
+
+def test_profiling_time_train_steps():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vivqa_tpu.train import TrainState, make_train_step
+    from vivqa_tpu.utils.profiling import time_train_steps
+
+    def apply_fn(variables, x):
+        return {"y": x @ variables["params"]["w"]}
+
+    params = {"w": jnp.ones((4, 4))}
+    tx = optax.sgd(0.1)
+    state = TrainState.create(apply_fn, params, tx, jax.random.PRNGKey(0))
+
+    def loss_fn(params, batch, rng, apply_fn):
+        out = apply_fn({"params": params}, batch["x"])
+        return (out["y"] ** 2).sum(), {}
+
+    per = time_train_steps(make_train_step(loss_fn), state,
+                           {"x": jnp.ones((2, 4))}, steps=3)
+    assert per > 0

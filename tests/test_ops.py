@@ -56,3 +56,30 @@ def test_grads_finite():
 def test_block_picker():
     assert _pick_blocks(256, 512) == (256, 512)
     assert _pick_blocks(384, 100) == (128, None)
+
+
+def test_matmul_grad_embedding_matches_take():
+    from vivqa_tpu.ops.embedding import MatmulGradEmbed, take_matmul_grad
+    table = jax.random.normal(jax.random.PRNGKey(0), (50, 8))
+    ids = jnp.asarray([[1, 4, 4], [0, 49, 2]])
+
+    def loss_ours(t):
+        return (take_matmul_grad(t, ids) ** 2).sum()
+
+    def loss_ref(t):
+        return (jnp.take(t, ids, axis=0) ** 2).sum()
+
+    np.testing.assert_allclose(np.asarray(loss_ours(table)),
+                               np.asarray(loss_ref(table)), rtol=1e-6)
+    g1 = jax.grad(loss_ours)(table)
+    g2 = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+    # module drop-in: same param name + attend()
+    m = MatmulGradEmbed(50, 8)
+    var = m.init(jax.random.PRNGKey(1), ids)
+    assert "embedding" in var["params"]
+    out = m.apply(var, ids)
+    assert out.shape == (2, 3, 8)
+    logits = m.apply(var, out, method=m.attend)
+    assert logits.shape == (2, 3, 50)

@@ -191,3 +191,38 @@ def test_sharded_train_step_loss_decreases(mesh8):
     assert moe_w.sharding.spec == P("model", None, None)
     # batch was consumed sharded over data axis
     assert batch["pixel_values"].sharding.spec == P("data")
+
+
+def test_single_chip_fast_path():
+    """1-device mesh skips NamedShardings (GSPMD pessimizes ~3x on one
+    chip) but still trains and donates safely."""
+    from vivqa_tpu.parallel import MeshConfig, create_mesh
+    mesh1 = create_mesh(MeshConfig(data_axis=1, model_axis=1),
+                        devices=jax.devices()[:1])
+    model = VietnameseVQAModel(TINY)
+    batch = _make_batch(8)
+    rng = jax.random.PRNGKey(0)
+    var = model.init({"params": rng, "router": rng}, batch["pixel_values"],
+                     batch["input_ids"])
+    tx = create_optimizer(OptimizerConfig(learning_rate=1e-2),
+                          params=var["params"])
+    state = place_state(TrainState.create(model.apply, var["params"], tx, rng),
+                        mesh1)
+
+    def loss_fn(params, batch, rng, apply_fn):
+        out = apply_fn({"params": params}, batch["pixel_values"],
+                       batch["input_ids"], batch["attention_mask"],
+                       deterministic=False,
+                       rngs={"dropout": rng, "router": rng})
+        return cross_entropy_loss(out["logits"], batch["labels"]), {}
+
+    jit_train, jit_eval, state_sh, batch_sh = ShardedStep(
+        mesh1, make_train_step(loss_fn)).compile(state)
+    assert batch_sh is None                      # fast path taken
+    l0 = None
+    for _ in range(4):
+        state, m = jit_train(state, batch)
+        l0 = l0 or float(m["loss"])
+    assert float(m["loss"]) < l0
+    # original var params still usable (no aliasing through donation)
+    model.apply(var, batch["pixel_values"], batch["input_ids"])

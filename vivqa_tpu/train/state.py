@@ -97,6 +97,15 @@ class ShardedStep:
     eval_step: Optional[Callable] = None
 
     def compile(self, state: TrainState):
+        if self.mesh.devices.size == 1:
+            # Single chip: NamedShardings are semantically a no-op but
+            # flip XLA into SPMD-partitioning mode, which pessimizes the
+            # compiled step ~3x (measured on v5e). Plain jit instead.
+            jit_train = jax.jit(self.train_step, donate_argnums=(0,))
+            jit_eval = (jax.jit(self.eval_step)
+                        if self.eval_step is not None else None)
+            return jit_train, jit_eval, None, None
+
         # Optimizer moments share param paths (".../mu/.../mlp/wi/kernel"),
         # so the same path-regex rules shard them identically to params.
         state_shardings = state.replace(
@@ -128,6 +137,13 @@ def place_state(state: TrainState, mesh: Mesh) -> TrainState:
     state, and aliased caller-owned buffers (the original params used to
     create it) would be deleted by the first step.
     """
+    if mesh.devices.size == 1:
+        # keep single-chip arrays unsharded (see ShardedStep.compile);
+        # still copy so train-step donation can't invalidate caller buffers
+        dev = mesh.devices.flat[0]
+        return jax.tree.map(
+            lambda x: jax.device_put(jnp.copy(x), dev), state)
+
     def put(tree, shardings):
         return jax.device_put(jax.tree.map(jnp.copy, tree), shardings)
 

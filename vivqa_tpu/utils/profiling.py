@@ -1,0 +1,105 @@
+"""Device-time measurement utilities.
+
+Timing jitted code correctly is subtle on remote-dispatch backends (the
+axon TPU tunnel used in development): `block_until_ready` can return
+before execution finishes, and any host round-trip costs a full tunnel
+RTT (~25ms), so per-call python loops measure RTT, not device time.
+
+The reliable recipe (calibrated against pure-matmul peak FLOPs):
+1. chain N iterations inside ONE jitted `lax.fori_loop`,
+2. force a HOST materialization (float()) as the barrier,
+3. subtract the RTT floor measured with a trivial program.
+
+`jax.profiler` trace hooks live in vivqa_tpu/train/trainer.py; this
+module is the stopwatch the benchmarks (bench.py, bench_serving.py) and
+perf tests build on.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def measure_rtt(probe_arg=None, repeats: int = 3) -> float:
+    """Median host<->device round-trip for a trivial program (seconds)."""
+    if probe_arg is None:
+        probe_arg = jnp.zeros((8,), jnp.float32)
+
+    @jax.jit
+    def trivial(x):
+        return jnp.float32(1.0) + jax.tree.leaves(x)[0].reshape(-1)[0].astype(
+            jnp.float32) * 0
+
+    float(trivial(probe_arg))  # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(trivial(probe_arg))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def time_chained(fn: Callable, args: Sequence, steps: int = 20,
+                 rtt: float | None = None) -> float:
+    """Seconds per iteration of ``fn(*args) -> pytree`` measured by
+    chaining `steps` calls inside one jitted fori_loop.
+
+    The loop threads a scalar accumulator through every call (as a
+    vanishing perturbation of the first argument) so iterations can't be
+    CSE'd or dead-code-eliminated; the return reduces the FULL output so
+    nothing is pruned.
+    """
+    first = args[0]
+
+    @jax.jit
+    def chained(*a):
+        def body(i, acc):
+            perturbed = jax.tree.map(
+                lambda x: x + (acc * 1e-20).astype(x.dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, a[0])
+            out = fn(perturbed, *a[1:])
+            s = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                    for l in jax.tree.leaves(out))
+            return acc + s * 1e-20 + 1.0
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
+
+    float(chained(*args))  # compile + warmup
+    if rtt is None:
+        rtt = measure_rtt(first)
+    t0 = time.perf_counter()
+    float(chained(*args))
+    total = time.perf_counter() - t0
+    return max(total - rtt, 1e-9) / steps
+
+
+def time_train_steps(train_step: Callable, state, batch,
+                     steps: int = 20, rtt: float | None = None) -> float:
+    """Seconds per training step: chains `steps` state updates inside one
+    jit (state threads through, so steps serialize exactly like a real
+    loop) with a host barrier on the final step counter."""
+
+    @jax.jit
+    def many(state, batch):
+        def body(_, s):
+            s2, _m = train_step(s, batch)
+            return s2
+        final = jax.lax.fori_loop(0, steps, body, state)
+        # The barrier must consume EVERY param leaf: XLA dead-code
+        # eliminates loop-carry components that don't feed the output
+        # (a step-counter-only marker lets the whole model update be
+        # pruned — observed as impossible 240k steps/s).
+        return sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                   for l in jax.tree.leaves(final.params))
+
+    float(many(state, batch))  # compile + warmup
+    if rtt is None:
+        rtt = measure_rtt(batch)
+    t0 = time.perf_counter()
+    float(many(state, batch))
+    total = time.perf_counter() - t0
+    return max(total - rtt, 1e-9) / steps
