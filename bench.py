@@ -71,7 +71,7 @@ def main():
                         total_steps=10000),
         params=params)
     state = TrainState.create(model.apply, params, tx, rng)
-    if n_chips > 1:
+    if n_chips > 1 or os.environ.get("BENCH_PLACE"):
         # multi-chip: rule-based placement (DP/TP/EP). On a single chip
         # placement is semantically a no-op but switches XLA into SPMD
         # partitioning mode, which pessimizes several fusions — skip it.
@@ -85,7 +85,7 @@ def main():
         loss = cross_entropy_loss(out["logits"], batch["labels"])
         return loss + 0.01 * out["aux_loss"], {}
 
-    if n_chips > 1:
+    if n_chips > 1 or os.environ.get("BENCH_PLACE"):
         jit_train, _, _, batch_sh = ShardedStep(
             mesh, make_train_step(loss_fn)).compile(state)
         batch = jax.device_put(batch, jax.tree.map(lambda _: batch_sh, batch))

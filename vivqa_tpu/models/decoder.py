@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from vivqa_tpu.models.config import GenerativeVQAConfig
 from vivqa_tpu.models.layers import (CrossAttentionLayer, make_attention_mask,
                                      sinusoidal_positions, to_dtype)
+from vivqa_tpu.ops.embedding import MatmulGradEmbed
 
 
 class TransformerDecoder(nn.Module):
@@ -37,9 +38,9 @@ class TransformerDecoder(nn.Module):
         dtype = to_dtype(cfg.dtype)
         B, L = decoder_input_ids.shape
 
-        embed = nn.Embed(cfg.vocab_size, cfg.decoder_dim,
-                         embedding_init=nn.initializers.normal(0.02),
-                         dtype=dtype, name="token_embed")
+        embed = MatmulGradEmbed(cfg.vocab_size, cfg.decoder_dim,
+                                embedding_init=nn.initializers.normal(0.02),
+                                dtype=dtype, name="token_embed")
         x = embed(decoder_input_ids) * jnp.asarray(
             cfg.decoder_dim ** 0.5, dtype)
 

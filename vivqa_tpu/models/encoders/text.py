@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from vivqa_tpu.models.config import TextEncoderConfig
 from vivqa_tpu.models.layers import (EncoderLayer, make_attention_mask,
                                      pool_sequence, to_dtype)
+from vivqa_tpu.ops.embedding import MatmulGradEmbed
 
 
 class TextEncoder(nn.Module):
@@ -31,9 +32,12 @@ class TextEncoder(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
 
-        tok = nn.Embed(cfg.vocab_size, cfg.hidden_dim,
-                       embedding_init=nn.initializers.normal(0.02),
-                       dtype=dtype, name="token_embed")(input_ids)
+        # token embedding uses the matmul-gradient lookup: the scatter
+        # backward is slow under the SPMD partitioner (vivqa_tpu/ops/
+        # embedding.py); param layout is identical to nn.Embed
+        tok = MatmulGradEmbed(cfg.vocab_size, cfg.hidden_dim,
+                              embedding_init=nn.initializers.normal(0.02),
+                              dtype=dtype, name="token_embed")(input_ids)
         pos_ids = jnp.arange(input_ids.shape[1])[None]
         pos = nn.Embed(cfg.max_length, cfg.hidden_dim,
                        embedding_init=nn.initializers.normal(0.02),
