@@ -73,3 +73,23 @@ def test_trainer_gradient_checkpointing(setup, tmp_path):
                         log_every=100, resume=False)
     out = VQATrainer(cfg, model, params, mesh).train(loader)
     assert np.isfinite(out["history"][0]["train_loss"])
+
+
+def test_gradual_unfreeze_stages(setup, tmp_path):
+    """The visual encoder must stay frozen early and actually train in
+    the final third of gradual_unfreeze."""
+    model, params, mesh, loader = setup
+    cfg = TrainerConfig(num_epochs=3, strategy="gradual_unfreeze",
+                        optimizer=OptimizerConfig(learning_rate=5e-2),
+                        checkpoint_dir=str(tmp_path / "gu"),
+                        log_every=100, resume=False,
+                        early_stopping_patience=10)
+    import jax
+    trainer = VQATrainer(cfg, model, params, mesh)
+    before = np.asarray(jax.tree.leaves(params["visual_encoder"])[0])
+    out = trainer.train(loader)
+    after_params = jax.device_get(out["state"].params)
+    after = np.asarray(jax.tree.leaves(after_params["visual_encoder"])[0])
+    # stage 2 (epoch 2 of 3) unlocked the visual encoder -> it moved
+    assert not np.allclose(before, after)
+    assert len(out["history"]) == 3

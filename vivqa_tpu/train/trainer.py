@@ -164,6 +164,14 @@ class VQATrainer:
             return None
 
     # -- master loop -----------------------------------------------------------
+    def _unfreeze_stage(self, epoch: int) -> int:
+        """gradual_unfreeze has 3 stages (head-only / +text / +visual,
+        reference training_utils.py:430-456); other strategies have 1."""
+        if self.config.strategy != "gradual_unfreeze":
+            return 0
+        frac = epoch / max(1, self.config.num_epochs)
+        return (2 if frac >= 2 / 3 else 1 if frac >= 1 / 3 else 0)
+
     def train(self, train_loader, val_loader=None) -> Dict:
         cfg = self.config
         log = self.log
@@ -171,6 +179,7 @@ class VQATrainer:
         builder = ShardedStep(self.mesh, make_train_step(self._loss_fn()),
                               make_eval_step(self._eval_fn))
         jit_train, jit_eval, state_sh, batch_sh = builder.compile(state)
+        current_stage = self._unfreeze_stage(0)
 
         ckpt = CheckpointManager(CheckpointConfig(
             directory=cfg.checkpoint_dir, max_to_keep=cfg.max_checkpoints,
@@ -197,6 +206,19 @@ class VQATrainer:
 
         try:
             for epoch in range(start_epoch, cfg.num_epochs):
+                # gradual_unfreeze: rebuild the optimizer when a new stage
+                # unlocks (params carry over; moments reset for the newly
+                # trainable modules — reference applies the strategy per
+                # epoch, vqa_trainer.py:894-900)
+                stage = self._unfreeze_stage(epoch)
+                if stage != current_stage:
+                    current_stage = stage
+                    self._params0 = jax.device_get(state.params)
+                    state = self._build_state(len(train_loader), epoch)
+                    jit_train, jit_eval, state_sh, batch_sh = \
+                        builder.compile(state)
+                    log.success(f"gradual unfreeze: stage {stage} "
+                                f"(epoch {epoch})")
                 if self.rm is not None:
                     self.rm.start_epoch(epoch)
                 losses = []
