@@ -151,6 +151,9 @@ def test_mini_ablation_end_to_end(tmp_path, mesh8):
     results = runner.run(selected=[0, 1, 2])
     statuses = {r.experiment_id: r.status for r in results}
     assert all(s == "completed" for s in statuses.values()), statuses
+    # router telemetry collected for MoE experiments
+    full = next(r for r in results if r.experiment_id.startswith("full__"))
+    assert full.moe_metrics and "expert_usage" in full.moe_metrics
     assert (tmp_path / "abl" / "reports" / "report.md").exists()
     assert (tmp_path / "abl" / "manifest.json").exists()
     assert (tmp_path / "abl" / "progress.json").exists()

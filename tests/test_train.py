@@ -226,3 +226,32 @@ def test_single_chip_fast_path():
     assert float(m["loss"]) < l0
     # original var params still usable (no aliasing through donation)
     model.apply(var, batch["pixel_values"], batch["input_ids"])
+
+
+def test_lookahead_sync_semantics():
+    """Exact Lookahead: between syncs behaves like the inner optimizer;
+    at the sync step params land at slow + alpha*(fast - slow)."""
+    params = {"w": jnp.zeros(2)}
+    tx = create_optimizer(OptimizerConfig(
+        name="sgd", learning_rate=1.0, weight_decay=0.0, grad_clip_norm=0.0,
+        momentum=0.0, lookahead=True, lookahead_sync=2,
+        lookahead_slow_step=0.5), params=params)
+    state = tx.init(params)
+    g = {"w": jnp.ones(2)}
+    # step 1 (no sync): fast = 0 - 1 = -1
+    up, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), -1.0)
+    # step 2 (sync): fast = -1 - 1 = -2; slow was 0 ->
+    # new = 0 + 0.5*(-2 - 0) = -1
+    up, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), -1.0)
+    # step 3 (no sync): -1 - 1 = -2
+    up, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), -2.0)
+    # step 4 (sync): fast = -3; slow = -1 -> -1 + 0.5*(-3 + 1) = -2
+    up, state = tx.update(g, state, params)
+    params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), -2.0)

@@ -19,6 +19,7 @@ from pathlib import Path
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from vivqa_tpu.ablation.config import AblationConfig, ExperimentConfig
 from vivqa_tpu.ablation.modifier import (apply_expert_ablation,
@@ -139,7 +140,36 @@ class AblationTrainer:
                 expert_mask=mask or (), seed=cfg.seed), self.log)
             out = tp.run(model, params, self.mesh, self.data.train_loader,
                          self.data.val_loader, self.data.id2answer)
-        return out
+        moe_metrics = self._collect_moe_metrics(model, out, mask)
+        return out, moe_metrics
+
+    def _collect_moe_metrics(self, model, out, mask):
+        """Router telemetry on one val batch with the trained params
+        (reference collect_moe_metrics, ablation_trainer.py:252-305)."""
+        from vivqa_tpu.ablation.modifier import collect_moe_metrics
+        try:
+            import jax
+            import jax.numpy as jnp
+            batch = next(iter(self.data.val_loader))
+            params = jax.device_get(out.state.params)
+            m = jnp.asarray(mask) if mask else None
+            if self.config.model_type == "generative":
+                res = model.apply({"params": params},
+                                  jnp.asarray(batch["pixel_values"]),
+                                  jnp.asarray(batch["question_ids"]),
+                                  jnp.asarray(batch["decoder_input_ids"]),
+                                  expert_mask=m, deterministic=True)
+            else:
+                res = model.apply({"params": params},
+                                  jnp.asarray(batch["pixel_values"]),
+                                  jnp.asarray(batch["input_ids"]),
+                                  expert_mask=m, deterministic=True)
+            return collect_moe_metrics(
+                jax.tree.map(lambda x: np.asarray(x)
+                             if hasattr(x, "shape") else x,
+                             res.get("moe_metrics", {})))
+        except Exception:
+            return None
 
     def run_experiment(self, experiment: ExperimentConfig) -> ExperimentResult:
         eid = experiment.experiment_id
@@ -149,13 +179,14 @@ class AblationTrainer:
         accumulate = 1
         for attempt in range(2):
             try:
-                out = self._build_and_run(experiment, accumulate)
+                out, moe_metrics = self._build_and_run(experiment, accumulate)
                 history = out.history
                 final = history[-1] if history else {}
                 self._save_epoch_results(eid, history)
                 return ExperimentResult(
                     experiment_id=eid, status="completed", metrics=final,
-                    history=history, wall_seconds=time.time() - t0)
+                    history=history, wall_seconds=time.time() - t0,
+                    moe_metrics=moe_metrics)
             except KeyboardInterrupt:
                 return ExperimentResult(
                     experiment_id=eid, status="interrupted", metrics={},

@@ -162,11 +162,13 @@ def create_optimizer(config: OptimizerConfig,
         parts.append(_scale_by_tree(layer_decay_scales(params, config.layer_decay)))
     parts.append(opt)
     if config.lookahead:
-        # optax.lookahead wraps params in a LookaheadParams pytree which
-        # complicates checkpointing; approximate with EMA of updates
-        # (reference Lookahead wrapper, vqa_optimizers.py:266-327).
-        parts.append(optax.ema(decay=1 - config.lookahead_slow_step,
-                               debias=False))
+        # exact Lookahead (Zhang et al. 2019; reference wrapper
+        # vqa_optimizers.py:266-327): keep slow weights in the opt state,
+        # every k steps pull fast weights toward slow and sync. Implemented
+        # as a post-optimizer transformation so params stay a plain tree
+        # (no LookaheadParams wrapper to complicate checkpoints).
+        parts.append(_lookahead(config.lookahead_sync,
+                                config.lookahead_slow_step))
     tx = optax.chain(*parts)
     if freeze_mask is not None:
         tx = optax.multi_transform(
@@ -175,6 +177,36 @@ def create_optimizer(config: OptimizerConfig,
     if config.accumulate_steps > 1:
         tx = optax.MultiSteps(tx, config.accumulate_steps)
     return tx
+
+
+def _lookahead(sync_period: int, slow_step: float):
+    """Exact Lookahead as an optax transformation applied AFTER the inner
+    optimizer: fast' = params + updates; every `sync_period` steps the
+    emitted update instead moves params to
+    slow + slow_step * (fast' - slow) and syncs the slow copy."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        return {"slow": jax.tree.map(lambda x: x, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params):
+        assert params is not None, "lookahead requires params"
+        count = state["count"] + 1
+        sync = (count % sync_period) == 0
+
+        def leaf(u, p, s):
+            fast = p + u
+            synced = s + slow_step * (fast - s)
+            return jnp.where(sync, synced - p, u)
+
+        new_updates = jax.tree.map(leaf, updates, params, state["slow"])
+        new_slow = jax.tree.map(
+            lambda u, p, s: jnp.where(sync, p + u, s),
+            new_updates, params, state["slow"])
+        return new_updates, {"slow": new_slow, "count": count}
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _scale_by_tree(scales):
