@@ -83,3 +83,29 @@ def test_matmul_grad_embedding_matches_take():
     assert out.shape == (2, 3, 8)
     logits = m.apply(var, out, method=m.attend)
     assert logits.shape == (2, 3, 50)
+
+def test_pallas_kernel_interpret_matches_xla():
+    """Run the actual Pallas kernel via the interpreter on CPU and check
+    exact agreement with the XLA reference — incl. the causal Lq != Lk
+    case (diagonal anchored to the END of the key axis, ADVICE r1)."""
+    import importlib
+    # the package re-exports the function under the same name, shadowing
+    # the submodule attribute — resolve the module directly
+    fa = importlib.import_module("vivqa_tpu.ops.flash_attention")
+    cases = [
+        dict(Lq=256, Lk=256, causal=False),
+        dict(Lq=256, Lk=256, causal=True),
+        dict(Lq=128, Lk=256, causal=True),   # the previously-latent bug
+        dict(Lq=256, Lk=128, causal=True),
+    ]
+    for c in cases:
+        q, k, v = _qkv(B=1, H=1, Lq=c["Lq"], Lk=c["Lk"], D=64)
+        bq, bk = _pick_blocks(c["Lq"], c["Lk"])
+        fa._INTERPRET = True
+        try:
+            out = fa._flash_forward(q, k, v, c["causal"], bq, bk)
+        finally:
+            fa._INTERPRET = False
+        want = _xla_attention(q, k, v, causal=c["causal"])
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5, err_msg=str(c))

@@ -255,3 +255,21 @@ def test_lookahead_sync_semantics():
     up, state = tx.update(g, state, params)
     params = optax.apply_updates(params, up)
     np.testing.assert_allclose(np.asarray(params["w"]), -2.0)
+
+
+def test_layer_decay_scales_updates_under_adamw():
+    """LLRD must scale the POST-optimizer update: Adam normalizes by
+    sqrt(v), cancelling any pre-optimizer gradient scale (ADVICE r1).
+    With constant grads, |update| per leaf must follow decay^(L-1-i)."""
+    params = {"layers_0": {"w": jnp.zeros(2)}, "layers_2": {"w": jnp.zeros(2)}}
+    tx = create_optimizer(OptimizerConfig(
+        name="adamw", learning_rate=1.0, weight_decay=0.0,
+        grad_clip_norm=0.0, layer_decay=0.5), params=params)
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    up, _ = tx.update(g, state, params)
+    u0 = float(np.abs(np.asarray(up["layers_0"]["w"])).mean())
+    u2 = float(np.abs(np.asarray(up["layers_2"]["w"])).mean())
+    # layer 2 is the deepest -> scale 1.0; layer 0 -> 0.5^2 = 0.25
+    assert u2 > 0
+    np.testing.assert_allclose(u0 / u2, 0.25, rtol=1e-3)

@@ -93,3 +93,29 @@ def test_gradual_unfreeze_stages(setup, tmp_path):
     # stage 2 (epoch 2 of 3) unlocked the visual encoder -> it moved
     assert not np.allclose(before, after)
     assert len(out["history"]) == 3
+
+
+def test_trainer_resume_restores_full_state(setup, tmp_path):
+    """Resume must restore step + optimizer state, not just params:
+    the step counter continues (so Orbax never reuses a step number and
+    the LR schedule doesn't restart) and Adam moments are non-zero."""
+    model, params, mesh, loader = setup
+    cfg = TrainerConfig(num_epochs=2,
+                        optimizer=OptimizerConfig(learning_rate=5e-3),
+                        checkpoint_dir=str(tmp_path / "fs"),
+                        log_every=100, resume=False,
+                        early_stopping_patience=10)
+    out1 = VQATrainer(cfg, model, params, mesh).train(loader, loader)
+    steps_run = int(out1["state"].step)
+    assert steps_run == 2 * len(loader)
+
+    cfg2 = cfg.replace(num_epochs=4, resume=True)
+    out2 = VQATrainer(cfg2, model, params, mesh).train(loader, loader)
+    # continued from the restored step, 2 more epochs on top
+    assert int(out2["state"].step) == 4 * len(loader)
+    # optimizer state restored: Adam mu is non-zero right away (a fresh
+    # optimizer would have zeros before the first update)
+    import jax.numpy as jnp
+    mus = [x for x in jax.tree.leaves(jax.device_get(out2["state"].opt_state))
+           if hasattr(x, "shape") and np.asarray(x).size > 1]
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in mus)

@@ -33,6 +33,10 @@ except ImportError:  # pragma: no cover
 
 NEG_INF = -1e30
 
+# Set True in tests to run the kernel via the Pallas interpreter on CPU
+# (numerics-identical, slow) — lets CI cover the kernel without a TPU.
+_INTERPRET = False
+
 
 def _xla_attention(q, k, v, mask=None, causal=False):
     """Reference implementation (also the backward path)."""
@@ -51,7 +55,7 @@ def _xla_attention(q, k, v, mask=None, causal=False):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
-                  sm_scale: float, q_offset_blocks: int):
+                  sm_scale: float, q_offset: int):
     """One (blockQ, d) tile of queries vs all K/V blocks.
 
     Grid: (B*H, Lq // blockQ). K/V come in whole (Lk, d) — sliced
@@ -71,7 +75,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
         v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
         if causal:
-            q_pos = (qi * block_q
+            # q_offset = Lk - Lq aligns the causal diagonal to the END of
+            # the key axis (same convention as _xla_attention's
+            # tril(..., Lk - Lq)) so Lq != Lk calls agree with the
+            # XLA fallback and the recomputed backward.
+            q_pos = (q_offset + qi * block_q
                      + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_k), 0))
             k_pos = (kb * block_k
@@ -93,7 +101,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, causal: bool,
     if causal:
         # skip K/V blocks that are entirely in the masked future
         upper = jnp.minimum(num_kb,
-                            ((qi + 1) * block_q + block_k - 1) // block_k)
+                            (q_offset + (qi + 1) * block_q + block_k - 1)
+                            // block_k)
     else:
         upper = num_kb
     acc, m, l = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
@@ -110,7 +119,7 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
 
     kernel = functools.partial(_flash_kernel, block_k=block_k,
                                causal=causal, sm_scale=sm_scale,
-                               q_offset_blocks=0)
+                               q_offset=Lk - Lq)
     out = pl.pallas_call(
         kernel,
         grid=(B * H, Lq // block_q),
@@ -121,6 +130,7 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
         ],
         out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
+        interpret=_INTERPRET,
     )(qf, kf, vf)
     return out.reshape(B, H, Lq, D)
 

@@ -158,9 +158,13 @@ def create_optimizer(config: OptimizerConfig,
     parts = []
     if config.grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(config.grad_clip_norm))
-    if config.layer_decay and params is not None:
-        parts.append(_scale_by_tree(layer_decay_scales(params, config.layer_decay)))
     parts.append(opt)
+    if config.layer_decay and params is not None:
+        # AFTER the inner optimizer: adaptive optimizers normalize by
+        # sqrt(v), which cancels any constant pre-optimizer gradient
+        # scale — LLRD must scale the post-normalization UPDATE (the
+        # reference sets per-group LRs, vqa_optimizers.py:329-423).
+        parts.append(_scale_by_tree(layer_decay_scales(params, config.layer_decay)))
     if config.lookahead:
         # exact Lookahead (Zhang et al. 2019; reference wrapper
         # vqa_optimizers.py:266-327): keep slow weights in the opt state,

@@ -112,11 +112,14 @@ class VQATrainer:
         out = apply_fn({"params": params}, batch["pixel_values"],
                        batch["input_ids"], batch["attention_mask"],
                        deterministic=True)
-        acc = (jnp.argmax(out["logits"], -1) == batch["labels"]).astype(
+        correct = (jnp.argmax(out["logits"], -1) == batch["labels"]).astype(
             jnp.float32)
-        return {"accuracy_sum": acc.sum(), "count": acc.shape[0],
-                "loss_sum": cross_entropy_loss(
-                    out["logits"], batch["labels"]) * acc.shape[0]}
+        logp = jax.nn.log_softmax(out["logits"].astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, batch["labels"][:, None], -1)[:, 0]
+        # per-row vectors so the host can TRIM padded rows (pad_last
+        # repeats the last real item; rescaling sums would bias metrics
+        # toward it — see CLAUDE.md / TrainingPipeline._validate)
+        return {"correct": correct, "nll": nll}
 
     def _build_state(self, steps_per_epoch: int, epoch: int = 0) -> TrainState:
         cfg = self.config
@@ -163,6 +166,48 @@ class VQATrainer:
         except ValueError:
             return None
 
+    # -- checkpoint plumbing -------------------------------------------------
+    @staticmethod
+    def _state_dict(state) -> Dict:
+        """Full resumable train state — params AND opt_state (Adam
+        moments, Lookahead slow weights), step (so the LR schedule and
+        Orbax step numbering continue where they left off) and rng."""
+        return jax.device_get({"params": state.params,
+                               "opt_state": state.opt_state,
+                               "step": state.step, "rng": state.rng})
+
+    def _restore_full(self, ckpt, state):
+        """Restore the full train state; fall back to params-only for
+        checkpoints written before opt_state was saved (or when the
+        optimizer tree changed, e.g. a different strategy)."""
+        target = self._state_dict(state)
+        try:
+            restored, meta = ckpt.restore(target=target)
+            full = True
+        except Exception:
+            restored, meta = ckpt.restore()
+            full = False
+
+        def put(tree, like):
+            return jax.device_put(
+                tree, jax.tree.map(lambda x: x.sharding, like))
+
+        state = state.replace(params=put(restored["params"], state.params))
+        if full:
+            state = state.replace(
+                opt_state=put(restored["opt_state"], state.opt_state),
+                step=put(restored["step"], state.step),
+                rng=put(restored["rng"], state.rng))
+        else:
+            # at minimum continue the step counter so ckpt.save never
+            # reuses a step number Orbax already has (save raises on dup)
+            latest = ckpt.latest_step() or 0
+            state = state.replace(step=jax.device_put(
+                jnp.asarray(latest, jnp.int32), state.step.sharding))
+            self.log.warning("checkpoint predates full-state saves; "
+                             "restored params only (optimizer reset)")
+        return state, meta
+
     # -- master loop -----------------------------------------------------------
     def _unfreeze_stage(self, epoch: int) -> int:
         """gradual_unfreeze has 3 stages (head-only / +text / +visual,
@@ -186,12 +231,9 @@ class VQATrainer:
             best_metric=cfg.metric_for_best))
         start_epoch = 0
         if cfg.resume and ckpt.latest_step() is not None:
-            restored, meta = ckpt.restore()
-            state = state.replace(params=jax.device_put(
-                restored["params"],
-                jax.tree.map(lambda x: x.sharding, state.params)))
+            state, meta = self._restore_full(ckpt, state)
             start_epoch = int(meta.get("epoch", -1)) + 1
-            log.success(f"resumed from step {ckpt.latest_step()} "
+            log.success(f"resumed from step {int(state.step)} "
                         f"(epoch {start_epoch})")
 
         stopper = EarlyStopping(patience=cfg.early_stopping_patience,
@@ -266,8 +308,7 @@ class VQATrainer:
 
                 metric = epoch_metrics.get(cfg.metric_for_best, 0.0)
                 if stopper.update(metric) or self._interrupted:
-                    ckpt.save(int(state.step),
-                              {"params": jax.device_get(state.params)},
+                    ckpt.save(int(state.step), self._state_dict(state),
                               metadata={"epoch": epoch,
                                         "interrupted": self._interrupted},
                               metrics={cfg.metric_for_best: metric})
@@ -300,11 +341,10 @@ class VQATrainer:
         for batch in device_prefetch(iter(loader), sharding=batch_sh):
             dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
             out = jit_eval(state, dev)
-            nv = batch.get("_num_valid", int(out["count"]))
-            # padded rows repeat real rows; rescale sums by valid fraction
-            frac = nv / max(int(out["count"]), 1)
+            rows = np.asarray(out["correct"])
+            nv = int(batch.get("_num_valid", rows.shape[0]))
             total += nv
-            correct += float(out["accuracy_sum"]) * frac
-            loss_sum += float(out["loss_sum"]) * frac
+            correct += float(rows[:nv].sum())
+            loss_sum += float(np.asarray(out["nll"])[:nv].sum())
         return {"accuracy": correct / max(total, 1),
                 "val_loss": loss_sum / max(total, 1)}
