@@ -156,6 +156,11 @@ class GenerativeVQAConfig(ConfigBase):
     fusion_layers: int = 3
     fusion_heads: int = 8
     moe: MoEModelConfig = dataclasses.field(default_factory=MoEModelConfig)
+    # RAG: retrieved contexts become extra memory tokens the decoder
+    # cross-attends over (fusion-in-decoder style; north-star config 5
+    # "BARTpho encoder-decoder + FAISS hybrid RAG")
+    knowledge: KnowledgeModelConfig = dataclasses.field(
+        default_factory=KnowledgeModelConfig)
     # decoder
     vocab_size: int = 64001
     decoder_layers: int = 6

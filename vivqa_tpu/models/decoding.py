@@ -217,9 +217,10 @@ def build_generate_fn(model, cfg: DecodeConfig):
         return vars_["cache"]
 
     def generate(params, pixel_values, question_ids, question_mask=None,
-                 rng=None):
+                 rng=None, knowledge_embeddings=None, knowledge_mask=None):
         enc = model.apply({"params": params}, pixel_values, question_ids,
-                          question_mask, method=model.encode)
+                          question_mask, None, knowledge_embeddings,
+                          knowledge_mask, method=model.encode)
         memory, memory_mask = enc["memory"], enc["memory_mask"]
         B = memory.shape[0]
 

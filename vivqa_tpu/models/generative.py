@@ -77,15 +77,36 @@ class GenerativeVQAModel(nn.Module):
         self.question_encoder = create_text_encoder(cfg.text, name="question_encoder")
         self.fusion = CrossModalFusion(cfg, name="fusion")
         self.decoder = TransformerDecoder(cfg, name="decoder")
+        if cfg.knowledge.use_knowledge:
+            # config-gated (static), so init/apply param trees agree
+            self.knowledge_proj = nn.Dense(cfg.fusion_dim,
+                                           dtype=to_dtype(cfg.dtype),
+                                           name="knowledge_proj")
+            self.knowledge_ln = nn.LayerNorm(dtype=to_dtype(cfg.dtype),
+                                             name="knowledge_ln")
 
     def encode(self, pixel_values, question_ids, question_mask=None,
-               expert_mask=None, *, deterministic: bool = True):
+               expert_mask=None, knowledge_embeddings=None,
+               knowledge_mask=None, *, deterministic: bool = True):
         visual = self.visual_encoder(pixel_values, deterministic=deterministic)
         text = self.question_encoder(question_ids, question_mask,
                                      deterministic=deterministic)
         fused, mask, aux_loss, moe_metrics = self.fusion(
             visual["tokens"], text["tokens"], text["mask"], expert_mask,
             deterministic=deterministic)
+        if (self.config.knowledge.use_knowledge
+                and knowledge_embeddings is not None):
+            # retrieved contexts -> extra memory tokens (the decoder
+            # cross-attends over them; fusion-in-decoder RAG). Replaces
+            # the reference's pooled 0.5-residual per-sample loop
+            # (vqa_model.py:689-702) with token-level access.
+            k = self.knowledge_ln(self.knowledge_proj(
+                knowledge_embeddings.astype(fused.dtype)))
+            fused = jnp.concatenate([fused, k], axis=1)
+            if knowledge_mask is None:
+                knowledge_mask = jnp.ones(k.shape[:2], jnp.int32)
+            mask = jnp.concatenate(
+                [mask, knowledge_mask.astype(mask.dtype)], axis=1)
         return {"memory": fused, "memory_mask": mask,
                 "aux_loss": aux_loss, "moe_metrics": moe_metrics}
 
@@ -103,10 +124,12 @@ class GenerativeVQAModel(nn.Module):
                             deterministic=True, decode=True)
 
     def __call__(self, pixel_values, question_ids, decoder_input_ids,
-                 question_mask=None, decoder_mask=None, expert_mask=None, *,
+                 question_mask=None, decoder_mask=None, expert_mask=None,
+                 knowledge_embeddings=None, knowledge_mask=None, *,
                  deterministic: bool = True):
         enc = self.encode(pixel_values, question_ids, question_mask,
-                          expert_mask, deterministic=deterministic)
+                          expert_mask, knowledge_embeddings, knowledge_mask,
+                          deterministic=deterministic)
         logits, decoder_aux = self.decoder(
             decoder_input_ids, enc["memory"], enc["memory_mask"],
             decoder_mask, deterministic=deterministic, return_aux=True)

@@ -55,6 +55,9 @@ class DataPipelineOutput:
     train_transform: ImageAugmentation
     eval_transform: ImageAugmentation
     statistics: Dict
+    # raw train split (OneSample list) — lets downstream stages bootstrap
+    # a knowledge base from the QA pairs (KnowledgeProvider.from_samples)
+    train_samples: list = dataclasses.field(default_factory=list)
 
 
 class DataPipeline:
@@ -148,7 +151,8 @@ class DataPipeline:
 
         return DataPipelineOutput(train_loader, val_loader, test_loader,
                                   answer2id, id2answer, tokenizer,
-                                  train_tf, eval_tf, stats)
+                                  train_tf, eval_tf, stats,
+                                  train_samples=list(train))
 
     def _validate_batch(self, batch: Dict, cfg: DataPipelineConfig,
                         num_answers: int) -> None:

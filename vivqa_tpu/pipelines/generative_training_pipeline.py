@@ -74,10 +74,12 @@ class GenerativeTrainingPipeline:
         mask = jnp.asarray(cfg.expert_mask) if cfg.expert_mask else None
 
         def loss_fn(params, batch, rng, apply_fn):
+            know = {k: batch[k] for k in ("knowledge_embeddings",
+                                          "knowledge_mask") if k in batch}
             out = apply_fn({"params": params}, batch["pixel_values"],
                            batch["question_ids"], batch["decoder_input_ids"],
                            batch["question_mask"], batch["decoder_mask"],
-                           expert_mask=mask,
+                           expert_mask=mask, **know,
                            deterministic=False,
                            rngs={"dropout": rng, "router": rng})
             ce = cross_entropy_loss(out["logits"], batch["labels"],
@@ -174,8 +176,11 @@ class GenerativeTrainingPipeline:
             if cfg.max_eval_batches and n >= cfg.max_eval_batches:
                 break
             n += 1
+            know = {k: batch[k] for k in ("knowledge_embeddings",
+                                          "knowledge_mask") if k in batch}
             seqs, _ = gen_fn(state.params, batch["pixel_values"],
-                             batch["question_ids"], batch["question_mask"])
+                             batch["question_ids"], batch["question_mask"],
+                             **know)
             nv = batch.get("_num_valid", len(seqs))
             preds = [tokenizer.decode(s) for s in np.asarray(seqs)[:nv]]
             refs = batch.get("all_answers", [[t] for t in

@@ -18,6 +18,8 @@ import jax
 import numpy as np
 
 from vivqa_tpu.config.base import ConfigBase, merge_cli_overrides
+from vivqa_tpu.knowledge.provider import (KnowledgeProvider,
+                                          KnowledgeProviderConfig)
 from vivqa_tpu.models.config import GenerativeVQAConfig
 from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
 from vivqa_tpu.models.generative import GenerativeVQAModel
@@ -40,6 +42,9 @@ class GenerativeVQAPipelineConfig(ConfigBase):
     training: GenerativeTrainingConfig = dataclasses.field(
         default_factory=GenerativeTrainingConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # host-side retrieval stage, active when model.knowledge.use_knowledge
+    knowledge: KnowledgeProviderConfig = dataclasses.field(
+        default_factory=KnowledgeProviderConfig)
     output_dir: str = "outputs/generative"
     resume: str = ""
     use_resource_manager: bool = False
@@ -72,6 +77,27 @@ class GenerativeVQAPipeline:
             text=cfg.model.text.replace(
                 max_length=data.max_question_length,
                 vocab_size=tok.vocab_size))
+        # knowledge/RAG stage: retrieved contexts become extra memory
+        # tokens for the decoder (north-star config 5)
+        provider = None
+        if model_cfg.knowledge.use_knowledge:
+            kcfg = cfg.knowledge.replace(
+                num_retrieved=model_cfg.knowledge.num_retrieved)
+            if kcfg.kb_path:
+                provider = KnowledgeProvider(kcfg)
+            else:
+                provider = KnowledgeProvider.from_samples(
+                    kcfg, data_out.train_samples)
+            model_cfg = model_cfg.replace(
+                knowledge=model_cfg.knowledge.replace(
+                    knowledge_dim=provider.dim))
+            data_out.train_loader = provider.wrap(data_out.train_loader)
+            data_out.val_loader = provider.wrap(data_out.val_loader)
+            data_out.test_loader = provider.wrap(data_out.test_loader)
+            self.log.success(
+                f"knowledge provider: {len(provider.documents)} docs, "
+                f"retriever={kcfg.retriever}, K={kcfg.num_retrieved}")
+
         model = GenerativeVQAModel(model_cfg)
         mesh = create_mesh(cfg.mesh)
         rng = jax.random.PRNGKey(cfg.seed)
@@ -79,7 +105,15 @@ class GenerativeVQAPipeline:
         px = jnp.zeros((2, data.image_size, data.image_size, 3))
         q = jnp.ones((2, data.max_question_length), jnp.int32)
         d = jnp.zeros((2, data.max_answer_length), jnp.int32)
-        params = model.init({"params": rng, "router": rng}, px, q, d)["params"]
+        know = {}
+        if model_cfg.knowledge.use_knowledge:
+            kc = model_cfg.knowledge
+            know = {"knowledge_embeddings": jnp.zeros(
+                        (2, kc.num_retrieved, kc.knowledge_dim)),
+                    "knowledge_mask": jnp.ones((2, kc.num_retrieved),
+                                               jnp.int32)}
+        params = model.init({"params": rng, "router": rng}, px, q, d,
+                            **know)["params"]
         self._log_architecture(model_cfg, params)
         if cfg.resume:
             from vivqa_tpu.train.checkpoint import (CheckpointConfig,
@@ -175,10 +209,14 @@ class GenerativeVQAPipeline:
         tok = data_out.tokenizer
         results = []
         for batch in data_out.test_loader:
+            know = {k: jnp.asarray(batch[k])
+                    for k in ("knowledge_embeddings", "knowledge_mask")
+                    if k in batch}
             seqs, scores = gen_fn(params,
                                   jnp.asarray(batch["pixel_values"]),
                                   jnp.asarray(batch["question_ids"]),
-                                  jnp.asarray(batch["question_mask"]))
+                                  jnp.asarray(batch["question_mask"]),
+                                  **know)
             nv = batch.get("_num_valid", len(batch["question"]))
             for i, q in enumerate(batch["question"][:nv]):
                 results.append({
@@ -237,6 +275,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use-moe", dest="model.moe.use_moe",
                    action="store_const", const=True, default=None)
     p.add_argument("--moe-type", dest="model.moe.moe_type")
+    p.add_argument("--use-knowledge", dest="model.knowledge.use_knowledge",
+                   action="store_const", const=True, default=None)
+    p.add_argument("--kb-path", dest="knowledge.kb_path")
     p.add_argument("--decode", dest="training.decode_strategy")
     p.add_argument("--num-beams", dest="training.num_beams", type=int)
     p.add_argument("--output-dir", dest="output_dir")

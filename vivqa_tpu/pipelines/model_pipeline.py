@@ -78,7 +78,17 @@ class ModelPipeline:
         px = jnp.zeros((2, model_cfg.visual.image_size,
                         model_cfg.visual.image_size, 3), jnp.float32)
         ids = jnp.ones((2, model_cfg.text.max_length), jnp.int32)
-        params = model.init({"params": rng, "router": rng}, px, ids)["params"]
+        # RAG params only exist if the knowledge branch traces at init
+        # (flax conditional-module gotcha): feed dummy contexts
+        know = {}
+        if model_cfg.knowledge.use_knowledge:
+            kc = model_cfg.knowledge
+            know = {"knowledge_embeddings": jnp.zeros(
+                        (2, kc.num_retrieved, kc.knowledge_dim), jnp.float32),
+                    "knowledge_mask": jnp.ones((2, kc.num_retrieved),
+                                               jnp.int32)}
+        params = model.init({"params": rng, "router": rng}, px, ids,
+                            **know)["params"]
         log.success("step 4/7 params initialized")
 
         # 5. param counts
@@ -87,7 +97,7 @@ class ModelPipeline:
 
         # 6/7. dummy forward validation (reference :428-480)
         if cfg.validate_forward:
-            out = model.apply({"params": params}, px, ids)
+            out = model.apply({"params": params}, px, ids, **know)
             expected = (2, model_cfg.num_answers)
             assert out["logits"].shape == expected, \
                 f"logits {out['logits'].shape} != {expected}"

@@ -93,9 +93,13 @@ class TrainingPipeline:
         mask = jnp.asarray(cfg.expert_mask) if cfg.expert_mask else None
 
         def loss_fn(params, batch, rng, apply_fn):
+            # knowledge arrays ride the batch when a KnowledgeProvider
+            # wraps the loader (key presence is static at trace time)
+            know = {k: batch[k] for k in ("knowledge_embeddings",
+                                          "knowledge_mask") if k in batch}
             out = apply_fn({"params": params}, batch["pixel_values"],
                            batch["input_ids"], batch["attention_mask"],
-                           expert_mask=mask,
+                           expert_mask=mask, **know,
                            deterministic=False,
                            rngs={"dropout": rng, "router": rng})
             ce = cross_entropy_loss(out["logits"], batch["labels"],
@@ -111,9 +115,11 @@ class TrainingPipeline:
         import jax.numpy as jnp
         mask = (jnp.asarray(self.config.expert_mask)
                 if self.config.expert_mask else None)
+        know = {k: batch[k] for k in ("knowledge_embeddings",
+                                      "knowledge_mask") if k in batch}
         out = apply_fn({"params": params}, batch["pixel_values"],
                        batch["input_ids"], batch["attention_mask"],
-                       expert_mask=mask, deterministic=True)
+                       expert_mask=mask, **know, deterministic=True)
         return {"logits": out["logits"], "moe_metrics": out["moe_metrics"]}
 
     # ----- run ------------------------------------------------------------

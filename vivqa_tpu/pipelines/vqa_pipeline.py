@@ -18,6 +18,8 @@ from pathlib import Path
 import jax
 
 from vivqa_tpu.config.base import ConfigBase, merge_cli_overrides
+from vivqa_tpu.knowledge.provider import (KnowledgeProvider,
+                                          KnowledgeProviderConfig)
 from vivqa_tpu.pipelines.data_pipeline import (DataPipeline,
                                                DataPipelineConfig)
 from vivqa_tpu.pipelines.model_pipeline import (ModelPipeline,
@@ -36,6 +38,11 @@ class VQAPipelineConfig(ConfigBase):
         default_factory=ModelPipelineConfig)
     training: TrainingPipelineConfig = dataclasses.field(
         default_factory=TrainingPipelineConfig)
+    # host-side retrieval stage; active when model.model.knowledge
+    # .use_knowledge is set (reference runs retrieval inside forward,
+    # vqa_model.py:689-702 — here it's a loader-wrapping data stage)
+    knowledge: KnowledgeProviderConfig = dataclasses.field(
+        default_factory=KnowledgeProviderConfig)
     output_dir: str = "outputs/vqa"
     resume: str = ""                    # checkpoint dir to resume from
     seed: int = 42
@@ -65,9 +72,30 @@ class VQAPipeline:
 
         data_out = DataPipeline(cfg.data, log).run()
 
+        # Knowledge/RAG stage: retrieve + encode K contexts per question
+        # on the host and attach them to every batch.
+        provider = None
+        if cfg.model.model.knowledge.use_knowledge:
+            kcfg = cfg.knowledge.replace(
+                num_retrieved=cfg.model.model.knowledge.num_retrieved)
+            if kcfg.kb_path:
+                provider = KnowledgeProvider(kcfg)
+            else:
+                provider = KnowledgeProvider.from_samples(
+                    kcfg, data_out.train_samples)
+            data_out.train_loader = provider.wrap(data_out.train_loader)
+            data_out.val_loader = provider.wrap(data_out.val_loader)
+            data_out.test_loader = provider.wrap(data_out.test_loader)
+            log.success(f"knowledge provider: {len(provider.documents)} "
+                        f"docs, retriever={kcfg.retriever}, "
+                        f"K={kcfg.num_retrieved}, dim={provider.dim}")
+
         # Sync the model config with what the data pipeline actually
         # produces: image size, question length, tokenizer vocab.
         mc = cfg.model.model
+        if provider is not None:
+            mc = mc.replace(knowledge=mc.knowledge.replace(
+                knowledge_dim=provider.dim))
         mc = mc.replace(
             visual=mc.visual.replace(image_size=cfg.data.image_size),
             text=mc.text.replace(max_length=cfg.data.max_question_length,
@@ -158,6 +186,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--text-backbone", dest="model.model.text.backbone")
     p.add_argument("--use-moe", dest="model.model.moe.use_moe",
                    action="store_const", const=True, default=None)
+    p.add_argument("--use-knowledge",
+                   dest="model.model.knowledge.use_knowledge",
+                   action="store_const", const=True, default=None)
+    p.add_argument("--kb-path", dest="knowledge.kb_path")
     p.add_argument("--output-dir", dest="output_dir")
     p.add_argument("--resume", dest="resume")
     p.add_argument("--seed", dest="seed", type=int)

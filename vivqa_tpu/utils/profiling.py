@@ -78,10 +78,15 @@ def time_chained(fn: Callable, args: Sequence, steps: int = 20,
 
 
 def time_train_steps(train_step: Callable, state, batch,
-                     steps: int = 20, rtt: float | None = None) -> float:
+                     steps: int = 20, rtt: float | None = None,
+                     repeats: int = 3) -> float:
     """Seconds per training step: chains `steps` state updates inside one
     jit (state threads through, so steps serialize exactly like a real
-    loop) with a host barrier on the final step counter."""
+    loop) with a host barrier on the final step counter.
+
+    The compiled program is measured `repeats` times and the MEDIAN
+    window is returned (one compile, N cheap measurements) — single
+    windows show ~2-3% run-to-run variance on the shared tunnel."""
 
     @jax.jit
     def many(state, batch):
@@ -99,7 +104,11 @@ def time_train_steps(train_step: Callable, state, batch,
     float(many(state, batch))  # compile + warmup
     if rtt is None:
         rtt = measure_rtt(batch)
-    t0 = time.perf_counter()
-    float(many(state, batch))
-    total = time.perf_counter() - t0
+    windows = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        float(many(state, batch))
+        windows.append(time.perf_counter() - t0)
+    windows.sort()
+    total = windows[len(windows) // 2]
     return max(total - rtt, 1e-9) / steps
