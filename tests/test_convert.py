@@ -127,3 +127,87 @@ def test_clip_vision_conversion_parity():
                                atol=ATOL)
     np.testing.assert_allclose(np.asarray(out["pooled"]), want_pooled,
                                atol=ATOL)
+
+
+def test_resnet_conversion_parity():
+    """HF ResNetModel (random init, eval) == ResNetEncoder with folded
+    frozen-BN weights. Covers the north-star ResNet-50 tower
+    (reference image_representation.py:16-80)."""
+    from transformers import ResNetConfig, ResNetModel
+    hf_cfg = ResNetConfig(embedding_size=8, hidden_sizes=[32, 64],
+                          depths=[1, 1], layer_type="bottleneck",
+                          num_channels=3)
+    hf = ResNetModel(hf_cfg).eval()
+    from vivqa_tpu.models.convert import convert_resnet
+    from vivqa_tpu.models.encoders.resnet import ResNetEncoder
+    cfg = VisualEncoderConfig(backbone="resnet", image_size=32,
+                              resnet_width=8, resnet_stages=(1, 1),
+                              resnet_norm="frozen_bn", dtype="float32")
+    params = convert_resnet(hf, cfg)
+    model = ResNetEncoder(cfg)
+    px = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.tensor(px.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()       # (B, C, H, W)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(px))
+                     ["tokens"], np.float32)        # (B, H*W, C)
+    B, C, H, W = want.shape
+    want_tokens = want.transpose(0, 2, 3, 1).reshape(B, H * W, C)
+    np.testing.assert_allclose(got, want_tokens, atol=ATOL)
+
+
+def test_swin_conversion_parity():
+    """HF SwinModel == SwinEncoder with fused-qkv converted weights,
+    incl. shifted windows, relative position bias and patch merging."""
+    from transformers import SwinConfig, SwinModel
+    hf_cfg = SwinConfig(image_size=56, patch_size=4, embed_dim=8,
+                        depths=[2, 2], num_heads=[2, 4], window_size=7,
+                        num_channels=3, drop_path_rate=0.0,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    hf = SwinModel(hf_cfg, add_pooling_layer=False).eval()
+    from vivqa_tpu.models.convert import convert_swin
+    from vivqa_tpu.models.encoders.swin import SwinEncoder
+    cfg = VisualEncoderConfig(backbone="swin", image_size=56,
+                              swin_embed_dim=8, swin_depths=(2, 2),
+                              swin_heads=(2, 4), swin_window=7,
+                              dropout=0.0, activation="gelu",
+                              ln_eps=1e-5, dtype="float32")
+    params = convert_swin(hf, cfg)
+    model = SwinEncoder(cfg)
+    px = np.random.RandomState(1).rand(2, 56, 56, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.tensor(px.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()       # (B, L, C)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(px))
+                     ["tokens"], np.float32)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_dinov2_conversion_parity():
+    """HF Dinov2Model == ViTEncoder with LayerScale converted weights."""
+    from transformers import Dinov2Config, Dinov2Model
+    hf_cfg = Dinov2Config(image_size=28, patch_size=7, hidden_size=32,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          mlp_ratio=2, hidden_dropout_prob=0.0,
+                          attention_probs_dropout_prob=0.0,
+                          layerscale_value=0.5)
+    hf = Dinov2Model(hf_cfg).eval()
+    from vivqa_tpu.models.convert import convert_dinov2
+    from vivqa_tpu.models.encoders.vit import ViTEncoder
+    cfg = VisualEncoderConfig(backbone="dino", image_size=28, patch_size=7,
+                              hidden_dim=32, num_layers=2, num_heads=2,
+                              mlp_ratio=2.0, dropout=0.0,
+                              vit_style="vit", activation="gelu",
+                              layer_scale_init=0.5, dtype="float32")
+    params = convert_dinov2(hf, cfg)
+    model = ViTEncoder(cfg)
+    px = np.random.RandomState(2).rand(2, 28, 28, 3).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.tensor(px.transpose(0, 3, 1, 2))
+                  ).last_hidden_state.numpy()       # (B, 1+L, C)
+    out = model.apply({"params": params}, jnp.asarray(px))
+    got_cls = np.asarray(out["pooled"], np.float32)
+    got_tokens = np.asarray(out["tokens"], np.float32)
+    np.testing.assert_allclose(got_cls, want[:, 0], atol=ATOL)
+    np.testing.assert_allclose(got_tokens, want[:, 1:], atol=ATOL)

@@ -41,6 +41,9 @@ class VisualEncoderConfig(ConfigBase):
     # ResNet family
     resnet_stages: tuple = (3, 4, 6, 3)
     resnet_width: int = 64
+    # "group" (from-scratch) | "frozen_bn" (pretrained-BN weights folded
+    # to per-channel affine — required for convert_resnet imports)
+    resnet_norm: str = "group"
     # Swin family
     swin_window: int = 7
     swin_depths: tuple = (2, 2, 6, 2)
@@ -56,6 +59,10 @@ class VisualEncoderConfig(ConfigBase):
     #          for exact HF CLIP weight-import parity
     vit_style: str = "vit"
     activation: str = "gelu_tanh"   # gelu (exact) / quick_gelu for HF parity
+    # LayerScale residual gains (DINOv2 towers); 0 = off
+    layer_scale_init: float = 0.0
+    # LayerNorm epsilon (1e-5 for torch-weight parity, Swin family)
+    ln_eps: float = 1e-6
     dtype: str = "bfloat16"         # compute dtype (fp32 for parity tests)
 
 

@@ -186,3 +186,184 @@ def load_pretrained_text_encoder(name_or_path: str,
                          num_layers=hf.config.num_hidden_layers,
                          num_heads=hf.config.num_attention_heads)
     return TextEncoder(cfg), convert_bert(hf, cfg, pos_offset=offset)
+
+
+def _fold_bn(bn) -> Dict:
+    """torch BatchNorm (eval) -> FrozenAffine {scale, bias}:
+    y = x*gamma/sqrt(var+eps) + (beta - mean*gamma/sqrt(var+eps))."""
+    g, b = _t(bn.weight), _t(bn.bias)
+    mean, var = _t(bn.running_mean), _t(bn.running_var)
+    scale = g / np.sqrt(var + bn.eps)
+    return {"scale": scale, "bias": b - mean * scale}
+
+
+def _conv_nhwc(w) -> Dict:
+    """torch conv (out, in, kh, kw) -> flax {kernel (kh, kw, in, out)}."""
+    return {"kernel": _t(w).transpose(2, 3, 1, 0)}
+
+
+def convert_resnet(hf_model, config: VisualEncoderConfig) -> Dict:
+    """HF ResNetModel (microsoft/resnet-50 layout — the same weights the
+    reference pulls via torchvision, image_representation.py:16-80) ->
+    ResNetEncoder(resnet_norm='frozen_bn') params. BatchNorm running
+    stats are folded into per-channel affines."""
+    assert config.resnet_norm == "frozen_bn", \
+        "pretrained ResNet weights require resnet_norm='frozen_bn'"
+    emb = hf_model.embedder.embedder
+    params: Dict = {
+        "stem": _conv_nhwc(emb.convolution.weight),
+        "stem_norm": _fold_bn(emb.normalization),
+    }
+    for s, stage in enumerate(hf_model.encoder.stages):
+        for b, block in enumerate(stage.layers):
+            p = {}
+            for ci, conv_layer in enumerate(block.layer):
+                p[f"conv{ci + 1}"] = _conv_nhwc(conv_layer.convolution.weight)
+                p[f"norm{ci + 1}"] = _fold_bn(conv_layer.normalization)
+            sc = getattr(block, "shortcut", None)
+            if sc is not None and hasattr(sc, "convolution"):
+                p["downsample"] = _conv_nhwc(sc.convolution.weight)
+                p["downsample_norm"] = _fold_bn(sc.normalization)
+            params[f"stage{s}_block{b}"] = p
+    return params
+
+
+def _swin_merge_perm(C: int) -> np.ndarray:
+    """HF SwinPatchMerging concatenates 2x2 neighbourhoods in order
+    (0,0),(1,0),(0,1),(1,1); our reshape-transpose produces
+    (0,0),(0,1),(1,0),(1,1). Permutation of HF's 4C input dims into ours."""
+    groups = [0, 2, 1, 3]    # ours[k] = HF[groups[k]]
+    return np.concatenate([np.arange(g * C, (g + 1) * C) for g in groups])
+
+
+def convert_swin(hf_model, config: VisualEncoderConfig) -> Dict:
+    """HF SwinModel -> SwinEncoder params. Attention q/k/v weights fuse
+    into the single `qkv` Dense; relative-position bias tables copy
+    directly (identical index convention); patch-merging weights are
+    permuted for the 2x2 concat-order difference."""
+    emb = hf_model.embeddings
+    params: Dict = {
+        "patch_embed": {
+            "kernel": _t(emb.patch_embeddings.projection.weight
+                         ).transpose(2, 3, 1, 0),
+            "bias": _t(emb.patch_embeddings.projection.bias)},
+        "ln_embed": _ln(emb.norm),
+        "ln_final": _ln(hf_model.layernorm),
+    }
+    for s, stage in enumerate(hf_model.encoder.layers):
+        for b, block in enumerate(stage.blocks):
+            att = block.attention
+            qkv_kernel = np.concatenate(
+                [_t(att.self.query.weight).T, _t(att.self.key.weight).T,
+                 _t(att.self.value.weight).T], axis=1)
+            qkv_bias = np.concatenate(
+                [_t(att.self.query.bias), _t(att.self.key.bias),
+                 _t(att.self.value.bias)])
+            params[f"stage{s}_block{b}"] = {
+                "ln1": _ln(block.layernorm_before),
+                "attn": {
+                    "qkv": {"kernel": qkv_kernel, "bias": qkv_bias},
+                    "proj": _linear(att.output.dense.weight,
+                                    att.output.dense.bias),
+                    "rel_pos_bias": _t(att.self.relative_position_bias_table),
+                },
+                "ln2": _ln(block.layernorm_after),
+                "mlp": {"wi": _linear(block.intermediate.dense.weight,
+                                      block.intermediate.dense.bias),
+                        "wo": _linear(block.output.dense.weight,
+                                      block.output.dense.bias)},
+            }
+        ds = getattr(stage, "downsample", None)
+        if ds is not None:
+            C = _t(ds.norm.weight).shape[0] // 4
+            perm = _swin_merge_perm(C)
+            params[f"merge{s}"] = {
+                "ln": {"scale": _t(ds.norm.weight)[perm],
+                       "bias": _t(ds.norm.bias)[perm]},
+                "reduction": {"kernel": _t(ds.reduction.weight).T[perm]},
+            }
+    return params
+
+
+def convert_dinov2(hf_model, config: VisualEncoderConfig) -> Dict:
+    """HF Dinov2Model -> ViTEncoder(layer_scale_init>0) params."""
+    assert config.layer_scale_init > 0, \
+        "DINOv2 weights require layer_scale_init > 0 (LayerScale towers)"
+    emb = hf_model.embeddings
+    params: Dict = {
+        "cls_token": _t(emb.cls_token),
+        "pos_embed": _t(emb.position_embeddings),
+        "patch_embed": {
+            "kernel": _t(emb.patch_embeddings.projection.weight
+                         ).transpose(2, 3, 1, 0),
+            "bias": _t(emb.patch_embeddings.projection.bias)},
+        "ln_final": _ln(hf_model.layernorm),
+    }
+    H = config.num_heads
+    for i, layer in enumerate(hf_model.encoder.layer):
+        att = layer.attention.attention
+        qk, qb = _attn_in(att.query.weight, att.query.bias, H)
+        kk, kb = _attn_in(att.key.weight, att.key.bias, H)
+        vk, vb = _attn_in(att.value.weight, att.value.bias, H)
+        ok, ob = _attn_out(layer.attention.output.dense.weight,
+                           layer.attention.output.dense.bias, H)
+        params[f"layers_{i}"] = {
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
+            "ln1": _ln(layer.norm1),
+            "ln2": _ln(layer.norm2),
+            "ls1_scale": _t(layer.layer_scale1.lambda1),
+            "ls2_scale": _t(layer.layer_scale2.lambda1),
+            "mlp": {"wi": _linear(layer.mlp.fc1.weight, layer.mlp.fc1.bias),
+                    "wo": _linear(layer.mlp.fc2.weight, layer.mlp.fc2.bias)},
+        }
+    return params
+
+
+def load_pretrained_visual_encoder(name_or_path: str,
+                                   config: VisualEncoderConfig):
+    """AutoModel (local cache only) -> (encoder module, params) for the
+    four north-star visual towers: ViT, CLIP-vision, ResNet-50, Swin,
+    DINOv2 (reference pulls these via torchvision/timm/HF,
+    image_representation.py:16-80)."""
+    from transformers import AutoModel
+    hf = AutoModel.from_pretrained(name_or_path, local_files_only=True)
+    mt = hf.config.model_type
+    from vivqa_tpu.models.encoders.resnet import ResNetEncoder
+    from vivqa_tpu.models.encoders.swin import SwinEncoder
+    from vivqa_tpu.models.encoders.vit import ViTEncoder
+    if mt == "resnet":
+        cfg = config.replace(
+            backbone="resnet", resnet_norm="frozen_bn",
+            resnet_width=hf.config.embedding_size,
+            resnet_stages=tuple(hf.config.depths))
+        return ResNetEncoder(cfg), convert_resnet(hf, cfg)
+    if mt == "swin":
+        cfg = config.replace(
+            backbone="swin", swin_embed_dim=hf.config.embed_dim,
+            swin_depths=tuple(hf.config.depths),
+            swin_heads=tuple(hf.config.num_heads),
+            swin_window=hf.config.window_size,
+            activation="gelu", ln_eps=hf.config.layer_norm_eps)
+        return SwinEncoder(cfg), convert_swin(hf, cfg)
+    if mt == "dinov2":
+        cfg = config.replace(
+            backbone="dino", vit_style="vit", activation="gelu",
+            hidden_dim=hf.config.hidden_size,
+            num_layers=hf.config.num_hidden_layers,
+            num_heads=hf.config.num_attention_heads,
+            patch_size=hf.config.patch_size,
+            mlp_ratio=hf.config.mlp_ratio,
+            layer_scale_init=hf.config.layerscale_value)
+        return ViTEncoder(cfg), convert_dinov2(hf, cfg)
+    if mt == "clip_vision_model" or mt == "clip":
+        cfg = config.replace(backbone="clip", vit_style="clip",
+                             activation="quick_gelu")
+        return ViTEncoder(cfg), convert_clip_vision(hf, cfg)
+    if mt == "vit":
+        cfg = config.replace(backbone="vit", vit_style="vit",
+                             activation="gelu")
+        return ViTEncoder(cfg), convert_vit(hf, cfg)
+    raise ValueError(f"no converter for model_type '{mt}'")

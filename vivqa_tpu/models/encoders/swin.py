@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vivqa_tpu.models.config import VisualEncoderConfig
-from vivqa_tpu.models.layers import MlpBlock, to_dtype
+from vivqa_tpu.models.layers import MlpBlock, to_activation, to_dtype
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:
@@ -58,7 +58,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
-    dtype = jnp.bfloat16
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
@@ -95,14 +95,16 @@ class SwinBlock(nn.Module):
     shift: int
     input_hw: tuple
     dropout: float = 0.0
-    dtype = jnp.bfloat16
+    dtype: object = jnp.bfloat16
+    activation: str = "gelu_tanh"
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         H, W = self.input_hw
         B, L, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln1")(x).reshape(B, H, W, C)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(H, W, self.window_size, self.shift))
@@ -110,20 +112,23 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(x, self.window_size)
         wins = WindowAttention(self.dim, self.num_heads, self.window_size,
-                               name="attn")(wins, mask)
+                               dtype=self.dtype, name="attn")(wins, mask)
         x = window_reverse(wins, self.window_size, B, H, W)
         if self.shift > 0:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + x.reshape(B, L, C)
-        y = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln2")(x)
         return x + MlpBlock(4 * self.dim, dropout=self.dropout,
-                            dtype=self.dtype, name="mlp")(y, deterministic=deterministic)
+                            dtype=self.dtype,
+                            activation=to_activation(self.activation),
+                            name="mlp")(y, deterministic=deterministic)
 
 
 class PatchMerging(nn.Module):
     dim: int
     input_hw: tuple
-    dtype = jnp.bfloat16
+    dtype: object = jnp.bfloat16
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +136,7 @@ class PatchMerging(nn.Module):
         B, L, C = x.shape
         x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        x = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="ln")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -142,7 +147,7 @@ class SwinEncoder(nn.Module):
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, *, deterministic: bool = True):
         cfg = self.config
-        dtype = to_dtype("bfloat16")
+        dtype = to_dtype(cfg.dtype)
         ws = cfg.swin_window
         B = pixel_values.shape[0]
 
@@ -150,18 +155,25 @@ class SwinEncoder(nn.Module):
                     name="patch_embed")(pixel_values.astype(dtype))
         H = W = cfg.image_size // 4
         x = x.reshape(B, H * W, cfg.swin_embed_dim)
-        x = nn.LayerNorm(dtype=dtype, name="ln_embed")(x)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dtype, name="ln_embed")(x)
 
         dim = cfg.swin_embed_dim
         for s, (depth, heads) in enumerate(zip(cfg.swin_depths, cfg.swin_heads)):
+            # standard Swin rule (timm/HF parity): when one window covers
+            # the whole map, shrink the window and disable the shift
+            ws_s = min(ws, H)
             for b in range(depth):
-                shift = 0 if b % 2 == 0 else ws // 2
-                x = SwinBlock(dim, heads, ws, shift, (H, W), cfg.dropout,
+                shift = 0 if (b % 2 == 0 or H <= ws_s) else ws_s // 2
+                x = SwinBlock(dim, heads, ws_s, shift, (H, W), cfg.dropout,
+                              dtype=dtype, activation=cfg.activation,
+                              ln_eps=cfg.ln_eps,
                               name=f"stage{s}_block{b}")(x, deterministic=deterministic)
             if s < len(cfg.swin_depths) - 1:
-                x = PatchMerging(dim, (H, W), name=f"merge{s}")(x)
+                x = PatchMerging(dim, (H, W), dtype=dtype,
+                                 ln_eps=cfg.ln_eps,
+                                 name=f"merge{s}")(x)
                 H, W, dim = H // 2, W // 2, dim * 2
-        x = nn.LayerNorm(dtype=dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=dtype, name="ln_final")(x)
         pooled, tokens = x.mean(axis=1), x
         if cfg.output_dim:
             proj = nn.Dense(cfg.output_dim, use_bias=False, dtype=dtype,

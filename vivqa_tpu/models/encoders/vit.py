@@ -58,6 +58,7 @@ class ViTEncoder(nn.Module):
                              d_ff=int(cfg.hidden_dim * cfg.mlp_ratio),
                              dropout=cfg.dropout, dtype=dtype,
                              activation=cfg.activation,
+                             layer_scale_init=cfg.layer_scale_init,
                              name=f"layers_{i}")(x, deterministic=deterministic)
         if cfg.vit_style == "clip":
             # CLIP's post_layernorm normalizes the pooled path only;

@@ -91,6 +91,9 @@ class EncoderLayer(nn.Module):
     dtype: Dtype = jnp.bfloat16
     norm_style: str = "pre"
     activation: str = "gelu_tanh"
+    # LayerScale (DINOv2/CaiT): per-channel learnable residual gains,
+    # initialised to this value; 0.0 = disabled (pre-LN only)
+    layer_scale_init: float = 0.0
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -108,9 +111,19 @@ class EncoderLayer(nn.Module):
             x = ln1(x + drop(y, deterministic=deterministic))
             y = mlp(x, deterministic=deterministic)
             return ln2(x + drop(y, deterministic=deterministic))
+        ls1 = ls2 = None
+        if self.layer_scale_init > 0:
+            D = x.shape[-1]
+            init = nn.initializers.constant(self.layer_scale_init)
+            ls1 = self.param("ls1_scale", init, (D,), jnp.float32)
+            ls2 = self.param("ls2_scale", init, (D,), jnp.float32)
         y = attn(ln1(x), ln1(x), mask=mask, deterministic=deterministic)
+        if ls1 is not None:
+            y = y * ls1.astype(y.dtype)
         x = x + drop(y, deterministic=deterministic)
         y = mlp(ln2(x), deterministic=deterministic)
+        if ls2 is not None:
+            y = y * ls2.astype(y.dtype)
         return x + drop(y, deterministic=deterministic)
 
 
