@@ -185,3 +185,53 @@ def test_sparse_priority_earlier_token_wins():
     # dropped token's output is LN(residual only); kept token got expert
     # output added -> the two rows must differ
     assert not np.allclose(y[0, 0], y[0, 1], atol=1e-3)
+
+
+@pytest.mark.parametrize("spec", ["segmentation", "object_detection", "ocr",
+                                  "scene_understanding", "spatial_reasoning",
+                                  "counting"])
+def test_specialized_experts_are_nonlocal(spec):
+    """Distinct inductive behavior vs FeedForwardExpert: every specialized
+    expert routes information ACROSS tokens (perturbing token j changes
+    the output at token i != j), while the FF expert is strictly
+    pointwise. This is what makes the ablation study's expert deltas
+    meaningful (VERDICT r1 #6)."""
+    from vivqa_tpu.models.moe.experts import create_expert
+    cfg = ExpertConfig(expert_type=spec, hidden_dim=64, num_heads=2,
+                       dropout=0.0)
+    ex = create_expert(cfg, name=spec)
+    x = np.asarray(_x(), np.float32)
+    var = ex.init(RNGS, jnp.asarray(x))
+    y0 = np.asarray(ex.apply(var, jnp.asarray(x)), np.float32)
+    x2 = x.copy()
+    x2[:, -1] += 3.0                             # perturb the LAST token
+    y1 = np.asarray(ex.apply(var, jnp.asarray(x2)), np.float32)
+    # output at token 0 moved -> cross-token information flow
+    assert np.abs(y1[:, 0] - y0[:, 0]).max() > 1e-4, spec
+
+    # control: the FF expert is pointwise — token 0 must NOT move
+    ff = create_expert(ExpertConfig(expert_type="feedforward",
+                                    hidden_dim=64, dropout=0.0), name="ff")
+    var_ff = ff.init(RNGS, jnp.asarray(x))
+    f0 = np.asarray(ff.apply(var_ff, jnp.asarray(x)), np.float32)
+    f1 = np.asarray(ff.apply(var_ff, jnp.asarray(x2)), np.float32)
+    assert np.abs(f1[:, 0] - f0[:, 0]).max() < 1e-5
+
+
+def test_spatial_expert_relation_embeddings_learn():
+    """The relation-type table participates in the computation: gradients
+    reach it (reference relation_embeddings, specialized_experts.py:184)."""
+    from vivqa_tpu.models.moe.experts import create_expert
+    ex = create_expert(ExpertConfig(expert_type="spatial_reasoning",
+                                    hidden_dim=64, num_heads=2, dropout=0.0),
+                       name="sp")
+    x = _x()
+    var = ex.init(RNGS, x)
+
+    def loss(params):
+        return (ex.apply({"params": params}, x).astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(var["params"])
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    rel = [l for kp, l in flat if "relation_embeddings" in str(kp)]
+    assert rel and np.abs(np.asarray(rel[0])).max() > 0

@@ -1,15 +1,28 @@
-"""Specialized VQA experts.
+"""Specialized VQA experts — reference-grade architectures.
 
 Counterpart of the reference's six specialized experts
-(src/modeling/moe/specialized_experts.py:15-897): segmentation (SAM-
-inspired mask tokens), object detection (DETR-style object queries), OCR
-(reading-order attention + diacritic head), scene understanding (scene
-tokens + global context), spatial reasoning (pairwise relations), and
-counting (count queries + density head).
+(src/modeling/moe/specialized_experts.py:15-897):
 
-Re-designed for TPU: all are static-shape token->token maps (B, L, D) ->
-(B, L, D); the O(L^2) pairwise module of SpatialReasoningExpert is a
-single batched einsum rather than a Python pair loop.
+- SegmentationExpert     (:15-173)  mask tokens -> decoder, boundary
+                                     conv1d along the sequence, spatial MLP
+- ObjectDetectionExpert  (:176-308) DETR-style object queries through a
+                                     multi-layer decoder + query-feature
+                                     cross-attention
+- OCRExpert              (:311-459) text queries -> decoder, Vietnamese
+                                     diacritic MLP, reading-order attention
+- SceneUnderstandingExpert (:462-599) scene tokens + joint encoder +
+                                     global mean/max pooling + context attn
+- SpatialReasoningExpert (:602-769) O(L^2) pairwise features, relation-
+                                     type embeddings, graph attention
+- CountingExpert         (:771-897) count queries + density head +
+                                     density-weighted aggregation
+
+TPU re-design: every expert is a static-shape token map (B, L, D) ->
+(B, L, D) built from einsum-able blocks (no Python pair loops, pre-LN,
+bf16 compute / fp32 params); the reference's nn.TransformerDecoder stacks
+become CrossAttentionLayer stacks, its Conv1d boundary net a 1-D flax
+Conv over the token axis, and the pairwise O(L^2) tensors are broadcast
+adds/concats that XLA fuses.
 """
 
 from __future__ import annotations
@@ -17,125 +30,231 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vivqa_tpu.models.layers import CrossAttentionLayer, EncoderLayer
 from vivqa_tpu.models.moe.config import ExpertConfig
 
 
-class _QueryDecoderExpert(nn.Module):
-    """Shared skeleton: K learnable queries cross-attend to tokens, then
-    tokens cross-attend back to the refined queries."""
-    config: ExpertConfig
-    num_queries: int = 16
-    dtype = jnp.bfloat16
-
-    def head(self, q):
-        """Optional per-expert transform of refined queries."""
-        return q
-
-    @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        B = x.shape[0]
-        queries = self.param("queries", nn.initializers.normal(0.02),
-                             (1, self.num_queries, x.shape[-1]), jnp.float32)
-        q = jnp.broadcast_to(queries, (B,) + queries.shape[1:]).astype(self.dtype)
-        q = nn.MultiHeadDotProductAttention(
-            num_heads=self.config.num_heads, dtype=self.dtype,
-            name="query_attn")(q, nn.LayerNorm(dtype=self.dtype, name="ln_q")(x),
-                               deterministic=deterministic)
-        q = self.head(q)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.config.num_heads, dtype=self.dtype,
-            name="token_attn")(nn.LayerNorm(dtype=self.dtype, name="ln_t")(x), q,
-                               deterministic=deterministic)
-        x = x + y
-        h = nn.Dense(self.config.hidden_dim, dtype=self.dtype, name="wi")(
-            nn.LayerNorm(dtype=self.dtype, name="ln2")(x))
-        h = nn.gelu(h)
-        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="wo")(h)
-        return x + h
-
-
-class SegmentationExpert(_QueryDecoderExpert):
-    """Mask tokens + boundary mixing (reference specialized_experts.py:15-173)."""
-    num_queries: int = 8
-
-    def head(self, q):
-        # boundary refinement: depthwise mix along the query axis
-        b = nn.Dense(q.shape[-1], dtype=self.dtype, name="boundary")(q)
-        return q + jnp.tanh(b)
-
-
-class ObjectDetectionExpert(_QueryDecoderExpert):
-    """DETR-style object queries (reference specialized_experts.py:176-308)."""
-    num_queries: int = 32
-
-    def head(self, q):
-        return q + nn.Dense(q.shape[-1], dtype=self.dtype, name="box_head")(q)
-
-
-class OCRExpert(_QueryDecoderExpert):
-    """Text-region queries + Vietnamese diacritic MLP
-    (reference specialized_experts.py:311-459)."""
-    num_queries: int = 16
-
-    def head(self, q):
-        d = nn.Dense(q.shape[-1], dtype=self.dtype, name="diacritic_fc1")(q)
-        d = nn.gelu(d)
-        d = nn.Dense(q.shape[-1], dtype=self.dtype, name="diacritic_fc2")(d)
-        return q + d
-
-
-class SceneUnderstandingExpert(nn.Module):
-    """Scene tokens + global-context attention
-    (reference specialized_experts.py:462-599)."""
-    config: ExpertConfig
-    num_scene_tokens: int = 8
-    dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
-        B = x.shape[0]
-        scene = self.param("scene_tokens", nn.initializers.normal(0.02),
-                           (1, self.num_scene_tokens, x.shape[-1]), jnp.float32)
-        s = jnp.broadcast_to(scene, (B,) + scene.shape[1:]).astype(self.dtype)
-        s = nn.MultiHeadDotProductAttention(
-            num_heads=self.config.num_heads, dtype=self.dtype,
-            name="scene_attn")(s, x, deterministic=deterministic)
-        g = s.mean(axis=1, keepdims=True)  # global scene context
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.config.num_heads, dtype=self.dtype,
-            name="context_attn")(nn.LayerNorm(dtype=self.dtype, name="ln")(x),
-                                 jnp.concatenate([s, g], axis=1),
-                                 deterministic=deterministic)
-        return x + y
-
-
-class SpatialReasoningExpert(nn.Module):
-    """Pairwise relational reasoning (reference specialized_experts.py:
-    602-769). The O(L^2) pair features are formed by two projections and a
-    broadcasted add — one einsum-able op, no pair loop."""
+class _SpecializedBase(nn.Module):
+    """Shared in/out plumbing: project tokens into the expert's hidden
+    width, run `body`, project back and LayerNorm with a residual — the
+    reference's input_proj/output_proj/output_norm contract."""
     config: ExpertConfig
     dtype = jnp.bfloat16
+
+    def body(self, h, x, *, deterministic: bool = True):
+        raise NotImplementedError
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         D = x.shape[-1]
-        xi = nn.Dense(D // 2, dtype=self.dtype, name="rel_src")(x)
-        xj = nn.Dense(D // 2, dtype=self.dtype, name="rel_dst")(x)
-        # (B, L, L, D/2) pair tensor via broadcast; relation MLP; aggregate
-        pair = nn.gelu(xi[:, :, None, :] + xj[:, None, :, :])
-        rel = nn.Dense(D // 2, dtype=self.dtype, name="rel_mlp")(pair)
-        agg = rel.mean(axis=2)
-        y = nn.Dense(D, dtype=self.dtype, name="rel_out")(agg)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x + y)
+        h = nn.Dense(self.config.hidden_dim, dtype=self.dtype,
+                     name="input_proj")(x.astype(self.dtype))
+        h = self.body(h, x, deterministic=deterministic)
+        y = nn.Dense(D, dtype=self.dtype, name="output_proj")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="output_norm")(
+            x.astype(self.dtype) + y)
+
+    # -- shared building blocks -------------------------------------------
+    def _queries(self, name: str, num: int, batch: int):
+        q = self.param(name, nn.initializers.normal(0.02),
+                       (1, num, self.config.hidden_dim), jnp.float32)
+        return jnp.broadcast_to(q, (batch,) + q.shape[1:]).astype(self.dtype)
+
+    def _decoder(self, queries, memory, layers: int, prefix: str, *,
+                 deterministic: bool):
+        """Query decoder stack: self-attn over queries + cross-attn to
+        memory + FFN per layer (reference nn.TransformerDecoder)."""
+        for i in range(layers):
+            queries = CrossAttentionLayer(
+                num_heads=self.config.num_heads,
+                d_ff=2 * self.config.hidden_dim,
+                dropout=self.config.dropout, dtype=self.dtype,
+                name=f"{prefix}_{i}")(queries, memory,
+                                      deterministic=deterministic)
+        return queries
+
+    def _cross(self, name: str, q, kv, *, deterministic: bool):
+        return nn.MultiHeadDotProductAttention(
+            num_heads=self.config.num_heads, dtype=self.dtype,
+            dropout_rate=self.config.dropout, name=name)(
+            q, kv, deterministic=deterministic)
+
+    def _mlp(self, name: str, h, out_dim: int, *, deterministic: bool):
+        y = nn.Dense(self.config.hidden_dim, dtype=self.dtype,
+                     name=f"{name}_fc1")(h)
+        y = nn.gelu(y)
+        y = nn.Dropout(self.config.dropout)(y, deterministic=deterministic)
+        return nn.Dense(out_dim, dtype=self.dtype, name=f"{name}_fc2")(y)
 
 
-class CountingExpert(_QueryDecoderExpert):
-    """Count queries + density head (reference specialized_experts.py:771-897)."""
-    num_queries: int = 8
+class SegmentationExpert(_SpecializedBase):
+    """Mask tokens + boundary conv + spatial MLP (reference :15-173)."""
+    num_mask_tokens: int = 8
 
-    def head(self, q):
-        density = nn.softplus(nn.Dense(1, dtype=self.dtype, name="density")(q))
-        return q * density
+    def body(self, h, x, *, deterministic: bool = True):
+        B = h.shape[0]
+        H = self.config.hidden_dim
+        # mask tokens decode against the token sequence (2-layer decoder)
+        masks = self._decoder(
+            self._queries("mask_tokens", self.num_mask_tokens, B), h, 2,
+            "mask_dec", deterministic=deterministic)
+        # boundary refinement: 1-D convs along the token axis
+        # (reference boundary_conv, Conv1d k=3 x2)
+        b = nn.Conv(H, (3,), padding="SAME", dtype=self.dtype,
+                    name="boundary_conv1")(h)
+        b = nn.gelu(b)
+        b = nn.Conv(H, (3,), padding="SAME", dtype=self.dtype,
+                    name="boundary_conv2")(b)
+        b = nn.gelu(b)
+        # spatial MLP over [boundary features ; mask context]
+        mask_ctx = self._cross("mask_ctx_attn", h, masks,
+                               deterministic=deterministic)
+        spatial = jnp.concatenate([b, mask_ctx], axis=-1)
+        return h + self._mlp("spatial", spatial, H,
+                             deterministic=deterministic)
+
+
+class ObjectDetectionExpert(_SpecializedBase):
+    """DETR-style object queries through a multi-layer transformer
+    decoder + query-feature cross-attention (reference :176-308)."""
+    num_queries: int = 32
+    num_decoder_layers: int = 3
+
+    def body(self, h, x, *, deterministic: bool = True):
+        B = h.shape[0]
+        H = self.config.hidden_dim
+        objects = self._decoder(
+            self._queries("object_queries", self.num_queries, B), h,
+            self.num_decoder_layers, "obj_dec", deterministic=deterministic)
+        # object feature aggregation (reference object_aggregation)
+        objects = nn.Dense(H, dtype=self.dtype, name="obj_agg")(objects)
+        objects = nn.gelu(objects)
+        objects = nn.Dropout(self.config.dropout)(
+            objects, deterministic=deterministic)
+        # tokens attend to the detected-object slots
+        enhanced = self._cross("query_feature_attn", h, objects,
+                               deterministic=deterministic)
+        return h + enhanced
+
+
+class OCRExpert(_SpecializedBase):
+    """Text-region queries + Vietnamese diacritic MLP + reading-order
+    attention (reference :311-459). Reading order is a real inductive
+    bias here: learnable order-position embeddings are added to the text
+    slots before the order self-attention, so the expert is NOT
+    permutation-symmetric over its text queries."""
+    num_text_queries: int = 16
+
+    def body(self, h, x, *, deterministic: bool = True):
+        B = h.shape[0]
+        H = self.config.hidden_dim
+        text = self._decoder(
+            self._queries("text_queries", self.num_text_queries, B), h, 2,
+            "text_dec", deterministic=deterministic)
+        # diacritic processor (reference: 2-layer residual MLP)
+        text = text + self._mlp("diacritic", text, H,
+                                deterministic=deterministic)
+        # reading-order attention over ordered text slots
+        order = self.param("order_embed", nn.initializers.normal(0.02),
+                           (1, self.num_text_queries, H), jnp.float32)
+        ordered = text + order.astype(self.dtype)
+        ordered = self._cross("reading_order_attn", ordered, ordered,
+                              deterministic=deterministic)
+        # tokens gather from the ordered text features
+        h_text = self._cross("text_gather_attn", h, ordered,
+                             deterministic=deterministic)
+        return h + self._mlp("aggregator", h_text, H,
+                             deterministic=deterministic)
+
+
+class SceneUnderstandingExpert(_SpecializedBase):
+    """Scene tokens jointly encoded with the sequence, global mean+max
+    pooling, context attention (reference :462-599)."""
+    num_scene_tokens: int = 8
+    num_encoder_layers: int = 2
+
+    def body(self, h, x, *, deterministic: bool = True):
+        B, L, H = h.shape
+        scene = self._queries("scene_tokens", self.num_scene_tokens, B)
+        combined = jnp.concatenate([scene, h], axis=1)
+        for i in range(self.num_encoder_layers):
+            combined = EncoderLayer(
+                num_heads=self.config.num_heads, d_ff=2 * H,
+                dropout=self.config.dropout, dtype=self.dtype,
+                name=f"scene_enc_{i}")(combined,
+                                       deterministic=deterministic)
+        scene_out = combined[:, : self.num_scene_tokens]
+        h_enc = combined[:, self.num_scene_tokens:]
+        # global context: mean+max pool over scene slots (reference
+        # global_pool + global_proj)
+        g = jnp.concatenate([scene_out.mean(axis=1), scene_out.max(axis=1)],
+                            axis=-1)
+        g = nn.Dense(H, dtype=self.dtype, name="global_proj")(g)[:, None]
+        ctx = self._cross("context_attn",
+                          nn.LayerNorm(dtype=self.dtype, name="ln_ctx")(h_enc),
+                          jnp.concatenate([scene_out, g], axis=1),
+                          deterministic=deterministic)
+        return h_enc + ctx
+
+
+class SpatialReasoningExpert(_SpecializedBase):
+    """O(L^2) pairwise features + relation-type embeddings + graph
+    attention (reference :602-769). Pairwise tensors are broadcast ops
+    over (B, L, L, H') with H' = hidden/2 to bound HBM."""
+    num_relations: int = 16
+
+    def body(self, h, x, *, deterministic: bool = True):
+        B, L, H = h.shape
+        Hp = max(H // 2, 8)
+        # pairwise features: proj_i(x) (+) proj_j(x) -> MLP (the concat
+        # [h_i, h_j] @ W of the reference == h_i @ W_left + h_j @ W_right)
+        hi = nn.Dense(Hp, dtype=self.dtype, name="pair_src")(h)
+        hj = nn.Dense(Hp, dtype=self.dtype, name="pair_dst")(h)
+        pair = nn.gelu(hi[:, :, None, :] + hj[:, None, :, :])   # (B,L,L,H')
+        pair = nn.Dense(Hp, dtype=self.dtype, name="pair_mlp")(pair)
+        # relation typing: predict a distribution over R relation types
+        # per pair, then mix learnable relation embeddings
+        rel_logits = nn.Dense(self.num_relations, dtype=self.dtype,
+                              name="relation_predictor")(pair)
+        rel_weights = nn.softmax(rel_logits.astype(jnp.float32),
+                                 axis=-1).astype(self.dtype)
+        rel_table = self.param("relation_embeddings",
+                               nn.initializers.normal(0.02),
+                               (self.num_relations, Hp), jnp.float32)
+        rel_feat = jnp.einsum("blmr,rh->blmh", rel_weights,
+                              rel_table.astype(self.dtype))
+        spatial_ctx = (pair + rel_feat).mean(axis=2)             # (B,L,H')
+        # graph attention over tokens (reference graph_attention)
+        h = h + self._cross("graph_attn",
+                            nn.LayerNorm(dtype=self.dtype, name="ln_g")(h),
+                            h, deterministic=deterministic)
+        combined = jnp.concatenate([h, spatial_ctx], axis=-1)
+        return self._mlp("spatial_agg", combined, H,
+                         deterministic=deterministic)
+
+
+class CountingExpert(_SpecializedBase):
+    """Count queries + density head + density-weighted aggregation
+    (reference :771-897)."""
+    max_count: int = 20
+
+    def body(self, h, x, *, deterministic: bool = True):
+        B, L, H = h.shape
+        # density estimation per token (reference density_head)
+        d = nn.Dense(H // 2, dtype=self.dtype, name="density_fc1")(h)
+        d = nn.gelu(d)
+        density = nn.sigmoid(
+            nn.Dense(1, dtype=self.dtype, name="density_fc2")(d))  # (B,L,1)
+        h_weighted = h * density
+        # count slots decode against the density-weighted sequence
+        counts = self._decoder(
+            self._queries("count_queries", self.max_count + 1, B),
+            h_weighted, 2, "count_dec", deterministic=deterministic)
+        count_agg = counts.mean(axis=1, keepdims=True)           # (B,1,H)
+        agg = self._mlp("aggregator",
+                        h_weighted + jnp.broadcast_to(count_agg, h.shape),
+                        H, deterministic=deterministic)
+        return h + agg
 
 
 SPECIALIZED_EXPERTS = {
