@@ -163,3 +163,90 @@ def test_metric_collections():
     vals = gc.compute_values()
     assert vals["exact_match"] == 1.0
     assert vals["bleu"] > 0.0
+
+
+def test_cider_reference_formula_fixture():
+    """style='reference' must reproduce the reference's exact formula
+    (raw TF, idf=log((N+1)/(df+1)) with 0 for unseen, no length penalty,
+    lower().split()). Expected value computed independently here."""
+    import math
+    from collections import Counter as C
+    from vivqa_tpu.metrics import CIDErScore
+    preds = ["một con chó", "hai con mèo"]
+    refs = [["một con chó nhỏ", "con chó"], ["hai con mèo"]]
+
+    def grams(s, n):
+        t = s.lower().split()
+        return C(tuple(t[i:i + n]) for i in range(len(t) - n + 1))
+
+    N = len(refs)
+
+    def tfidf(s, n, df):
+        v = {}
+        for g, c in grams(s, n).items():
+            d = df.get(g, 0)
+            v[g] = c * (math.log((N + 1) / (d + 1)) if d > 0 else 0.0)
+        return v
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a.values()))
+        nb = math.sqrt(sum(x * x for x in b.values()))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(a[g] * b.get(g, 0.0) for g in a) / (na * nb)
+
+    expected = []
+    for pred, rs in zip(preds, refs):
+        per_ref = []
+        for r in rs:
+            per_n = []
+            for n in range(1, 5):
+                df = C()
+                for rr in refs:
+                    seen = set()
+                    for x in rr:
+                        seen |= set(grams(x, n))
+                    for g in seen:
+                        df[g] += 1
+                per_n.append(cos(tfidf(pred, n, df), tfidf(r, n, df)))
+            per_ref.append(np.mean(per_n))
+        expected.append(10 * np.mean(per_ref))
+    m = CIDErScore(style="reference")
+    m.update(preds, refs)
+    got = m.compute()
+    np.testing.assert_allclose(got.value, np.mean(expected), rtol=1e-9)
+    np.testing.assert_allclose(got.per_sample, expected, rtol=1e-9)
+    # the paper-style variant intentionally diverges (documented)
+    m2 = CIDErScore(style="paper")
+    m2.update(preds, refs)
+    assert abs(m2.compute().value - got.value) > 1e-6
+
+
+def test_wups_taxonomy_graded_similarity():
+    """WUPS gives graded similarity for in-taxonomy words (incl.
+    Vietnamese aliases) instead of silently degrading to exact match."""
+    from vivqa_tpu.metrics import WUPS
+    from vivqa_tpu.metrics.taxonomy import taxonomy_wup
+    # dog~cat share 'mammal'; dog~car only 'entity'
+    assert taxonomy_wup("dog", "cat") > taxonomy_wup("dog", "car")
+    assert taxonomy_wup("chó", "mèo") == taxonomy_wup("dog", "cat")
+    assert taxonomy_wup("chó", "dog") == 1.0
+    assert taxonomy_wup("dog", "xyzzy") is None
+
+    w0 = WUPS(0.0)
+    w0.update(["con chó"], [["con mèo"]])
+    s = w0.compute().value
+    assert 0.0 < s < 1.0          # graded, not exact-match-or-zero
+
+    w9 = WUPS(0.9)
+    w9.update(["con chó"], [["con mèo"]])
+    assert w9.compute().value < s  # 0.9-threshold penalizes
+
+
+def test_meteor_stem_and_synonym_stages():
+    from vivqa_tpu.metrics.nlg_metrics import meteor_score
+    # stem stage: 'running' vs 'run'
+    assert meteor_score("the dog running", "the dog run") > \
+        meteor_score("the dog running", "the dog sat")
+    # synonym stage: Vietnamese alias matches its concept
+    assert meteor_score("chó", "dog") > 0

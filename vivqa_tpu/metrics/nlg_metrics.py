@@ -101,18 +101,47 @@ class BLEUScore(BaseMetric):
 # METEOR
 # ---------------------------------------------------------------------------
 
+def _porter():
+    """NLTK's PorterStemmer is pure code (no corpus download needed)."""
+    try:
+        from nltk.stem import PorterStemmer
+        return PorterStemmer()
+    except ImportError:                                # pragma: no cover
+        return None
+
+
+_STEMMER = _porter()
+
+
 def _meteor_align(pred: List[str], ref: List[str]) -> tuple[int, int]:
-    """Greedy left-to-right exact alignment; returns (#matches, #chunks)."""
+    """Staged greedy alignment (NLTK meteor stages, reference :647-712):
+    1) exact, 2) Porter stem, 3) synonym via the built-in taxonomy
+    (WordNet data is absent offline; the taxonomy covers the VQA answer
+    vocabulary bilingually). Returns (#matches, #chunks)."""
+    from vivqa_tpu.metrics.taxonomy import taxonomy_synonyms
+
+    def stages():
+        yield lambda w, r: w == r
+        if _STEMMER is not None:
+            yield lambda w, r: _STEMMER.stem(w) == _STEMMER.stem(r)
+        yield taxonomy_synonyms
+
     used_ref = [False] * len(ref)
+    used_pred = [False] * len(pred)
     align = []  # (pred_i, ref_j)
-    for i, w in enumerate(pred):
-        for j, r in enumerate(ref):
-            if not used_ref[j] and w == r:
-                used_ref[j] = True
-                align.append((i, j))
-                break
+    for match in stages():
+        for i, w in enumerate(pred):
+            if used_pred[i]:
+                continue
+            for j, r in enumerate(ref):
+                if not used_ref[j] and match(w, r):
+                    used_ref[j] = True
+                    used_pred[i] = True
+                    align.append((i, j))
+                    break
     if not align:
         return 0, 0
+    align.sort()
     chunks = 1
     for (pi, pj), (ci, cj) in zip(align, align[1:]):
         if ci != pi + 1 or cj != pj + 1:
@@ -222,34 +251,61 @@ class ROUGEScore(BaseMetric):
 # ---------------------------------------------------------------------------
 
 class CIDErScore(BaseMetric):
-    """TF-IDF weighted n-gram cosine, n=1..4, x10 (reference :847-990).
-    Document frequency is computed over the evaluated corpus's reference
-    sets (consensus-style)."""
+    """TF-IDF weighted n-gram cosine, n=1..4, x10.
+
+    Two formula styles (documented in PARITY.md):
+    - style="reference" (default): EXACTLY the reference's formula
+      (src/solvers/metrics/vqa_metrics.py:847-990): lower().split()
+      tokenization, RAW term frequency, idf = log((N+1)/(df+1)) with 0
+      for unseen n-grams, cosine per n averaged over n then over
+      references, no length penalty. Drop-in number parity.
+    - style="paper": closer to Vedantam et al. 2015 — normalized
+      answers, TF normalized by length, idf = log(N) - log(max(df,1)),
+      gaussian length penalty (sigma).
+    """
     name = "cider"
 
-    def __init__(self, max_n: int = 4, sigma: float = 6.0):
+    def __init__(self, max_n: int = 4, sigma: float = 6.0,
+                 style: str = "reference"):
+        assert style in ("reference", "paper"), style
         self.max_n = max_n
         self.sigma = sigma
+        self.style = style
         super().__init__()
 
     def reset(self):
         self.preds: List[List[str]] = []
         self.refs: List[List[List[str]]] = []
 
+    def _tok(self, text: str) -> List[str]:
+        if self.style == "reference":
+            # reference _get_ngrams: plain lower().split(), no punctuation
+            # normalization (:889-892)
+            return text.lower().split()
+        return _tokenize(text)
+
     def update(self, predictions, references):
         for pred, refs in zip(predictions, references):
             if isinstance(refs, str):
                 refs = [refs]
-            self.preds.append(_tokenize(pred))
-            self.refs.append([_tokenize(r) for r in refs])
+            self.preds.append(self._tok(pred))
+            self.refs.append([self._tok(r) for r in refs])
 
     def _tfidf(self, tokens: List[str], n: int, df: Counter, n_docs: int):
         cnt = _ngrams(tokens, n)
-        total = max(sum(cnt.values()), 1)
         vec = {}
-        for g, c in cnt.items():
-            idf = math.log(max(n_docs, 1)) - math.log(max(df[g], 1))
-            vec[g] = (c / total) * idf
+        if self.style == "reference":
+            # raw TF; idf = log((N+1)/(df+1)), 0 when the n-gram never
+            # appears in any reference set (:913-932)
+            for g, c in cnt.items():
+                d = df.get(g, 0)
+                idf = math.log((n_docs + 1) / (d + 1)) if d > 0 else 0.0
+                vec[g] = c * idf
+        else:
+            total = max(sum(cnt.values()), 1)
+            for g, c in cnt.items():
+                idf = math.log(max(n_docs, 1)) - math.log(max(df[g], 1))
+                vec[g] = (c / total) * idf
         norm = math.sqrt(sum(v * v for v in vec.values()))
         return vec, norm
 
@@ -280,10 +336,13 @@ class CIDErScore(BaseMetric):
                         sims.append(0.0)
                         continue
                     dot = sum(pv[g] * rv.get(g, 0.0) for g in pv)
-                    # length penalty (gaussian over length diff)
-                    delta = len(pt) - len(rt)
-                    pen = math.exp(-(delta**2) / (2 * self.sigma**2))
-                    sims.append(pen * dot / (pn * rn))
+                    if self.style == "reference":
+                        sims.append(dot / (pn * rn))
+                    else:
+                        # gaussian penalty over length difference
+                        delta = len(pt) - len(rt)
+                        pen = math.exp(-(delta**2) / (2 * self.sigma**2))
+                        sims.append(pen * dot / (pn * rn))
                 score_n.append(float(np.mean(sims)) if sims else 0.0)
             scores.append(10.0 * float(np.mean(score_n)))
         return MetricResult(float(np.mean(scores)), per_sample=scores)

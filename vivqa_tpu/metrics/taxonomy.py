@@ -1,0 +1,235 @@
+"""Built-in Wu-Palmer taxonomy for WUPS / METEOR synonym matching.
+
+The reference's WUPS (src/solvers/metrics/vqa_metrics.py:222-324) and
+METEOR (:647-712) lean on NLTK WordNet, whose data files are absent in a
+zero-egress environment — and which is English-only anyway, so on ViVQA's
+Vietnamese answers the reference effectively degrades to exact matching.
+This module ships a compact hand-written hypernym tree over the common
+VQA answer vocabulary (objects, animals, colors, numbers, materials,
+vehicles, food, rooms, actions) with Vietnamese aliases mapped onto the
+same nodes, giving graded Wu-Palmer similarity offline for BOTH
+languages. Out-of-vocabulary words fall back to exact match.
+
+wup(a, b) = 2 * depth(LCA) / (depth(a) + depth(b))   (Wu & Palmer 1994)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+# child -> parent (None = root). Deliberately shallow-but-wide: the point
+# is sensible relative similarities (dog~cat > dog~car), not WordNet's
+# exact depths.
+_PARENTS: Dict[str, Optional[str]] = {
+    "entity": None,
+    # top level
+    "object": "entity", "organism": "entity", "attribute": "entity",
+    "quantity": "entity", "location": "entity", "action": "entity",
+    "time": "entity",
+    # organisms
+    "animal": "organism", "plant": "organism", "person": "organism",
+    "mammal": "animal", "bird": "animal", "fish": "animal",
+    "insect": "animal", "reptile": "animal",
+    "canine": "mammal", "feline": "mammal", "livestock": "mammal",
+    "rodent": "mammal",
+    "dog": "canine", "wolf": "canine", "fox": "canine",
+    "cat": "feline", "tiger": "feline", "lion": "feline",
+    "cow": "livestock", "buffalo": "livestock", "pig": "livestock",
+    "goat": "livestock", "sheep": "livestock", "horse": "livestock",
+    "mouse": "rodent", "rat": "rodent", "rabbit": "mammal",
+    "elephant": "mammal", "monkey": "mammal", "bear": "mammal",
+    "chicken": "bird", "duck": "bird", "goose": "bird", "pigeon": "bird",
+    "eagle": "bird", "parrot": "bird",
+    "snake": "reptile", "lizard": "reptile", "turtle": "reptile",
+    "bee": "insect", "butterfly": "insect", "ant": "insect",
+    "man": "person", "woman": "person", "boy": "person", "girl": "person",
+    "child": "person", "baby": "person",
+    "tree": "plant", "flower": "plant", "grass": "plant", "rice": "plant",
+    "bamboo": "plant", "lotus": "plant",
+    # objects
+    "vehicle": "object", "furniture": "object", "appliance": "object",
+    "container": "object", "clothing": "object", "tool": "object",
+    "instrument": "object", "toy": "object", "device": "object",
+    "food": "object", "building": "object",
+    "car": "vehicle", "truck": "vehicle", "bus": "vehicle",
+    "motorcycle": "vehicle", "bicycle": "vehicle", "train": "vehicle",
+    "boat": "vehicle", "ship": "vehicle", "airplane": "vehicle",
+    "table": "furniture", "chair": "furniture", "bed": "furniture",
+    "sofa": "furniture", "desk": "furniture", "shelf": "furniture",
+    "cabinet": "furniture",
+    "refrigerator": "appliance", "television": "appliance",
+    "fan": "appliance", "stove": "appliance", "microwave": "appliance",
+    "washer": "appliance",
+    "phone": "device", "computer": "device", "laptop": "device",
+    "camera": "device", "clock": "device", "lamp": "device",
+    "bottle": "container", "cup": "container", "bowl": "container",
+    "box": "container", "bag": "container", "basket": "container",
+    "plate": "container", "jar": "container",
+    "shirt": "clothing", "pants": "clothing", "dress": "clothing",
+    "hat": "clothing", "shoe": "clothing", "jacket": "clothing",
+    "knife": "tool", "scissors": "tool", "hammer": "tool",
+    "umbrella": "tool", "broom": "tool",
+    "ball": "toy", "kite": "toy", "doll": "toy",
+    "bread": "food", "cake": "food", "fruit": "food", "meat": "food",
+    "soup": "food", "noodle": "food", "vegetable": "food", "egg": "food",
+    "banana": "fruit", "apple": "fruit", "orange": "fruit",
+    "mango": "fruit", "watermelon": "fruit", "coconut": "fruit",
+    "house": "building", "school": "building", "market": "building",
+    "hospital": "building", "temple": "building", "bridge": "building",
+    # attributes
+    "color": "attribute", "size": "attribute", "shape": "attribute",
+    "material": "attribute",
+    "red": "color", "blue": "color", "green": "color", "yellow": "color",
+    "black": "color", "white": "color", "brown": "color", "gray": "color",
+    "orange_color": "color", "pink": "color", "purple": "color",
+    "big": "size", "small": "size", "tall": "size", "short": "size",
+    "long": "size",
+    "round": "shape", "square": "shape", "triangle": "shape",
+    "wood": "material", "metal": "material", "plastic": "material",
+    "glass": "material", "paper": "material", "cloth": "material",
+    # quantities
+    "number": "quantity",
+    "zero": "number", "one": "number", "two": "number", "three": "number",
+    "four": "number", "five": "number", "six": "number", "seven": "number",
+    "eight": "number", "nine": "number", "ten": "number",
+    # locations
+    "room": "location", "outdoor": "location",
+    "kitchen": "room", "bedroom": "room", "bathroom": "room",
+    "living_room": "room", "classroom": "room",
+    "street": "outdoor", "park": "outdoor", "beach": "outdoor",
+    "field": "outdoor", "garden": "outdoor", "river": "outdoor",
+    "mountain": "outdoor", "sky": "outdoor", "sea": "outdoor",
+    # actions
+    "sitting": "action", "standing": "action", "running": "action",
+    "walking": "action", "eating": "action", "drinking": "action",
+    "sleeping": "action", "playing": "action", "reading": "action",
+    "cooking": "action", "riding": "action", "swimming": "action",
+    # time
+    "day": "time", "night": "time", "morning": "time",
+    "afternoon": "time", "evening": "time",
+}
+
+# Vietnamese answer vocabulary -> taxonomy node (normalized, lowercase).
+_ALIASES: Dict[str, str] = {
+    # animals
+    "chó": "dog", "con chó": "dog", "mèo": "cat", "con mèo": "cat",
+    "bò": "cow", "con bò": "cow", "trâu": "buffalo", "lợn": "pig",
+    "heo": "pig", "dê": "goat", "cừu": "sheep", "ngựa": "horse",
+    "chuột": "mouse", "thỏ": "rabbit", "voi": "elephant", "khỉ": "monkey",
+    "gấu": "bear", "gà": "chicken", "vịt": "duck", "ngỗng": "goose",
+    "chim": "bird", "cá": "fish", "rắn": "snake", "rùa": "turtle",
+    "ong": "bee", "bướm": "butterfly", "kiến": "ant", "hổ": "tiger",
+    "sư tử": "lion",
+    # people
+    "người": "person", "đàn ông": "man", "phụ nữ": "woman",
+    "con trai": "boy", "con gái": "girl", "trẻ em": "child", "em bé": "baby",
+    # plants
+    "cây": "tree", "hoa": "flower", "cỏ": "grass", "lúa": "rice",
+    "tre": "bamboo", "sen": "lotus",
+    # vehicles
+    "xe hơi": "car", "ô tô": "car", "xe tải": "truck", "xe buýt": "bus",
+    "xe máy": "motorcycle", "xe đạp": "bicycle", "tàu hỏa": "train",
+    "thuyền": "boat", "tàu": "ship", "máy bay": "airplane",
+    # furniture / objects
+    "bàn": "table", "ghế": "chair", "giường": "bed", "tủ": "cabinet",
+    "kệ": "shelf", "tủ lạnh": "refrigerator", "ti vi": "television",
+    "tivi": "television", "quạt": "fan", "bếp": "stove",
+    "điện thoại": "phone", "máy tính": "computer", "máy ảnh": "camera",
+    "đồng hồ": "clock", "đèn": "lamp",
+    "chai": "bottle", "cốc": "cup", "ly": "cup", "bát": "bowl",
+    "tô": "bowl", "hộp": "box", "túi": "bag", "giỏ": "basket",
+    "đĩa": "plate", "lọ": "jar",
+    "áo": "shirt", "quần": "pants", "váy": "dress", "mũ": "hat",
+    "nón": "hat", "giày": "shoe", "dép": "shoe",
+    "dao": "knife", "kéo": "scissors", "búa": "hammer", "ô": "umbrella",
+    "dù": "umbrella", "chổi": "broom", "bóng": "ball", "diều": "kite",
+    "búp bê": "doll",
+    # food
+    "bánh mì": "bread", "bánh": "cake", "trái cây": "fruit",
+    "thịt": "meat", "súp": "soup", "phở": "noodle", "mì": "noodle",
+    "bún": "noodle", "rau": "vegetable", "trứng": "egg",
+    "chuối": "banana", "táo": "apple", "cam": "orange", "xoài": "mango",
+    "dưa hấu": "watermelon", "dừa": "coconut", "cơm": "rice",
+    # buildings / places
+    "nhà": "house", "trường": "school", "trường học": "school",
+    "chợ": "market", "bệnh viện": "hospital", "chùa": "temple",
+    "cầu": "bridge", "đường": "street", "phố": "street",
+    "công viên": "park", "bãi biển": "beach", "biển": "sea",
+    "cánh đồng": "field", "vườn": "garden", "sông": "river",
+    "núi": "mountain", "trời": "sky", "bầu trời": "sky",
+    "phòng bếp": "kitchen", "nhà bếp": "kitchen",
+    "phòng ngủ": "bedroom", "phòng tắm": "bathroom",
+    "phòng khách": "living_room", "lớp học": "classroom",
+    # colors
+    "đỏ": "red", "màu đỏ": "red", "xanh": "blue",
+    "xanh dương": "blue", "xanh da trời": "blue",
+    "xanh lá": "green", "xanh lá cây": "green", "vàng": "yellow",
+    "màu vàng": "yellow", "đen": "black", "màu đen": "black",
+    "trắng": "white", "màu trắng": "white", "nâu": "brown",
+    "xám": "gray", "hồng": "pink", "tím": "purple", "màu cam": "orange_color",
+    # sizes / shapes / materials
+    "to": "big", "lớn": "big", "nhỏ": "small", "bé": "small",
+    "cao": "tall", "thấp": "short", "dài": "long",
+    "tròn": "round", "vuông": "square", "tam giác": "triangle",
+    "gỗ": "wood", "kim loại": "metal", "nhựa": "plastic",
+    "thủy tinh": "glass", "giấy": "paper", "vải": "cloth",
+    # numbers
+    "không": "zero", "một": "one", "hai": "two", "ba": "three",
+    "bốn": "four", "năm": "five", "sáu": "six", "bảy": "seven",
+    "tám": "eight", "chín": "nine", "mười": "ten",
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+    "10": "ten",
+    # actions
+    "ngồi": "sitting", "đứng": "standing", "chạy": "running",
+    "đi bộ": "walking", "ăn": "eating", "uống": "drinking",
+    "ngủ": "sleeping", "chơi": "playing", "đọc": "reading",
+    "đọc sách": "reading", "nấu ăn": "cooking", "cưỡi": "riding",
+    "bơi": "swimming",
+    # time
+    "ngày": "day", "đêm": "night", "buổi sáng": "morning",
+    "buổi chiều": "afternoon", "buổi tối": "evening",
+}
+
+
+def _node(word: str) -> Optional[str]:
+    w = word.lower().strip()
+    if w in _PARENTS:
+        return w
+    return _ALIASES.get(w)
+
+
+def _chain(node: str) -> List[str]:
+    """node -> [node, parent, ..., root]."""
+    out = [node]
+    while _PARENTS.get(out[-1]) is not None:
+        out.append(_PARENTS[out[-1]])
+    return out
+
+
+def taxonomy_wup(a: str, b: str) -> Optional[float]:
+    """Wu-Palmer similarity from the built-in tree, or None when either
+    word is out of vocabulary (caller falls back to exact match)."""
+    na, nb = _node(a), _node(b)
+    if na is None or nb is None:
+        return None
+    if na == nb:
+        return 1.0
+    ca, cb = _chain(na), _chain(nb)
+    # depth counted from the root (root depth = 1, WordNet convention)
+    da, db = len(ca), len(cb)
+    ancestors_b = {n: db - i for i, n in enumerate(cb)}   # node -> depth
+    lca_depth = 0
+    for i, n in enumerate(ca):
+        if n in ancestors_b:
+            lca_depth = min(da - i, ancestors_b[n])
+            break
+    return 2.0 * lca_depth / (da + db)
+
+
+def taxonomy_synonyms(a: str, b: str) -> bool:
+    """True when two words map to the SAME taxonomy node (e.g. Vietnamese
+    alias and its English concept, or 'heo'/'lợn'). METEOR's synonym
+    stage uses this."""
+    na, nb = _node(a), _node(b)
+    return na is not None and na == nb

@@ -241,9 +241,12 @@ def _wordnet_or_none():
 
 
 class WUPS(BaseMetric):
-    """Wu-Palmer similarity score (reference :222-324). Uses WordNet when
-    available; otherwise falls back to exact-match-or-zero per word pair
-    (threshold semantics preserved, taxonomy similarity unavailable)."""
+    """Wu-Palmer similarity score (reference :222-324). Similarity
+    backend chain: NLTK WordNet when its data is installed -> the
+    built-in bilingual taxonomy (metrics/taxonomy.py, covers the common
+    VQA answer vocabulary in English AND Vietnamese — strictly better
+    than the reference on ViVQA, where English WordNet has no entries)
+    -> exact match."""
     name = "wups"
 
     def __init__(self, threshold: float = 0.9):
@@ -257,17 +260,20 @@ class WUPS(BaseMetric):
     def _word_sim(self, a: str, b: str) -> float:
         if a == b:
             return 1.0
-        if self._wn is None:
-            return 0.0
-        sa = self._wn.synsets(a)
-        sb = self._wn.synsets(b)
-        best = 0.0
-        for x in sa[:5]:
-            for y in sb[:5]:
-                s = x.wup_similarity(y)
-                if s and s > best:
-                    best = s
-        return best
+        if self._wn is not None:
+            sa = self._wn.synsets(a)
+            sb = self._wn.synsets(b)
+            best = 0.0
+            for x in sa[:5]:
+                for y in sb[:5]:
+                    s = x.wup_similarity(y)
+                    if s and s > best:
+                        best = s
+            if sa and sb:
+                return best
+        from vivqa_tpu.metrics.taxonomy import taxonomy_wup
+        t = taxonomy_wup(a, b)
+        return t if t is not None else 0.0
 
     def _set_score(self, pred_tokens, ref_tokens) -> float:
         if not pred_tokens or not ref_tokens:
