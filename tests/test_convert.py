@@ -211,3 +211,39 @@ def test_dinov2_conversion_parity():
     got_tokens = np.asarray(out["tokens"], np.float32)
     np.testing.assert_allclose(got_cls, want[:, 0], atol=ATOL)
     np.testing.assert_allclose(got_tokens, want[:, 1:], atol=ATOL)
+
+
+def test_deberta_conversion_parity():
+    """HF DebertaV2Model == DeBERTaEncoder (real disentangled attention:
+    c2c + c2p + p2c over log-bucketed relative positions)."""
+    from transformers import DebertaV2Config, DebertaV2Model
+    hf_cfg = DebertaV2Config(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=32, relative_attention=True,
+        position_buckets=8, max_relative_positions=32,
+        norm_rel_ebd="layer_norm", pos_att_type=["p2c", "c2p"],
+        position_biased_input=False, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, type_vocab_size=0,
+        share_att_key=True)   # deberta-v3 layout (shared pos projections)
+    hf = DebertaV2Model(hf_cfg).eval()
+    from vivqa_tpu.models.convert import convert_deberta
+    from vivqa_tpu.models.encoders.deberta import (DeBERTaConfig,
+                                                   DeBERTaEncoder)
+    cfg = DeBERTaConfig(vocab_size=100, hidden_dim=32, num_layers=2,
+                        num_heads=2, mlp_ratio=2.0, max_length=8,
+                        position_buckets=8, max_relative_positions=32,
+                        pos_att_type=("p2c", "c2p"), norm_rel_ebd=True,
+                        dropout=0.0, activation="gelu",
+                        ln_eps=hf_cfg.layer_norm_eps, dtype="float32")
+    params = convert_deberta(hf, cfg)
+    model = DeBERTaEncoder(cfg)
+    ids = np.random.RandomState(3).randint(0, 100, (2, 8))
+    mask = np.ones((2, 8), np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids),
+                  attention_mask=torch.tensor(mask)
+                  ).last_hidden_state.numpy()
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(ids),
+                                 jnp.asarray(mask))["tokens"], np.float32)
+    np.testing.assert_allclose(got, want, atol=ATOL)

@@ -367,3 +367,45 @@ def load_pretrained_visual_encoder(name_or_path: str,
                              activation="gelu")
         return ViTEncoder(cfg), convert_vit(hf, cfg)
     raise ValueError(f"no converter for model_type '{mt}'")
+
+
+def convert_deberta(hf_model, config) -> Dict:
+    """HF DebertaV2Model -> DeBERTaEncoder params (disentangled
+    attention; reference wraps this model at
+    text_representation.py:350-473). Requires the deberta-v3 layout:
+    share_att_key=True (shared q/k projections for the positional terms)
+    and position_biased_input=False (relative positions only)."""
+    assert getattr(hf_model.config, "share_att_key", False), \
+        "convert_deberta supports the v3 layout (share_att_key=True)"
+    assert not getattr(hf_model.config, "position_biased_input", True), \
+        "convert_deberta expects position_biased_input=False"
+    emb = hf_model.embeddings
+    enc = hf_model.encoder
+    params: Dict = {
+        "token_embed": {"embedding": _t(emb.word_embeddings.weight)},
+        "ln_embed": _ln(emb.LayerNorm),
+        "rel_embeddings": _t(enc.rel_embeddings.weight),
+    }
+    if config.norm_rel_ebd:
+        params["ln_rel"] = _ln(enc.LayerNorm)
+    for i, layer in enumerate(hf_model.encoder.layer):
+        att = layer.attention
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "query_proj": _linear(att.self.query_proj.weight,
+                                      att.self.query_proj.bias),
+                "key_proj": _linear(att.self.key_proj.weight,
+                                    att.self.key_proj.bias),
+                "value_proj": _linear(att.self.value_proj.weight,
+                                      att.self.value_proj.bias),
+                "out_proj": _linear(att.output.dense.weight,
+                                    att.output.dense.bias),
+            },
+            "ln1": _ln(att.output.LayerNorm),
+            "wi": _linear(layer.intermediate.dense.weight,
+                          layer.intermediate.dense.bias),
+            "wo": _linear(layer.output.dense.weight,
+                          layer.output.dense.bias),
+            "ln2": _ln(layer.output.LayerNorm),
+        }
+    return params

@@ -198,6 +198,17 @@ def create_text_embedding(kind: str, config: TextEncoderConfig) -> nn.Module:
     fall back to the generic transformer embedding."""
     if kind not in TEXT_EMBEDDING_KINDS:
         kind = "generic"
+    if kind == "deberta":
+        # real disentangled attention (NOT an alias of TextEncoder —
+        # reference DeBERTaV3TextEmbedding, text_representation.py:350-473)
+        from vivqa_tpu.models.encoders.deberta import (DeBERTaConfig,
+                                                       DeBERTaEncoder)
+        return DeBERTaEncoder(DeBERTaConfig(
+            vocab_size=config.vocab_size, hidden_dim=config.hidden_dim,
+            num_layers=config.num_layers, num_heads=config.num_heads,
+            mlp_ratio=config.mlp_ratio, max_length=config.max_length,
+            pooling=config.pooling, dropout=config.dropout,
+            output_dim=config.output_dim, dtype=config.dtype))
     # architectural deltas between the BERT family members live in the
     # config (type_vocab_size, pooling); the module is shared.
     if kind in ("roberta", "phobert"):
