@@ -24,11 +24,42 @@ _TEMPLATES = [
 ]
 
 
+_COLOR_RGB = {"đỏ": (200, 40, 40), "xanh": (40, 80, 200),
+              "vàng": (220, 200, 40), "trắng": (230, 230, 230),
+              "đen": (25, 25, 25)}
+
+
+def _render_scene(image_size: int, color: str, obj: str, count: str,
+                  rng_img: np.random.RandomState) -> np.ndarray:
+    """Image that ENCODES the answers: background = the color, a row of
+    bright blocks = the count, a grayscale band whose intensity
+    identifies the object. Makes (image, question) -> answer learnable,
+    so convergence checks measure real multimodal learning rather than
+    label memorization."""
+    arr = np.zeros((image_size, image_size, 3), np.float32)
+    arr[:] = _COLOR_RGB[color]
+    # count blocks along the top row
+    k = _COUNTS.index(count) + 1
+    bw = max(image_size // 8, 2)
+    for b in range(k):
+        x0 = b * (bw + 2)
+        if x0 + bw <= image_size:
+            arr[2:2 + bw, x0:x0 + bw] = 255.0
+    # object band: intensity codes the object id
+    level = 60 + 40 * _OBJECTS.index(obj)
+    y0 = image_size // 2
+    arr[y0:y0 + max(image_size // 6, 2), :] = level
+    noise = rng_img.randn(image_size, image_size, 3) * 8.0
+    return np.clip(arr + noise, 0, 255).astype(np.uint8)
+
+
 def generate_synthetic_vivqa(out_dir: str | Path, n: int = 64,
-                             image_size: int = 64, seed: int = 0
-                             ) -> Tuple[Path, Path]:
+                             image_size: int = 64, seed: int = 0,
+                             learnable: bool = False) -> Tuple[Path, Path]:
     """Write images/ + data.csv (image_link,question,answers). Returns
-    (csv_path, image_dir)."""
+    (csv_path, image_dir). With ``learnable=True`` the image content
+    determines the answers (see _render_scene) — used by the
+    convergence benchmark."""
     from PIL import Image
     rng = random.Random(seed)
     out = Path(out_dir)
@@ -42,12 +73,18 @@ def generate_synthetic_vivqa(out_dir: str | Path, n: int = 64,
         tq, ta = rng.choice(_TEMPLATES)
         q = tq.format(obj=obj, color=color, count=count)
         a = ta.format(obj=obj, color=color, count=count)
-        arr = (np.random.RandomState(seed + i)
-               .rand(image_size, image_size, 3) * 255).astype(np.uint8)
+        rs = np.random.RandomState(seed + i)
+        if learnable:
+            arr = _render_scene(image_size, color, obj, count, rs)
+        else:
+            arr = (rs.rand(image_size, image_size, 3) * 255).astype(np.uint8)
         name = f"img_{i:05d}.jpg"
-        Image.fromarray(arr).save(img_dir / name)
-        answers = [a] * rng.randint(1, 3) + ([rng.choice(_COLORS)]
-                                             if rng.random() < 0.3 else [])
+        Image.fromarray(arr).save(img_dir / name, quality=95)
+        if learnable:
+            answers = [a]
+        else:
+            answers = [a] * rng.randint(1, 3) + ([rng.choice(_COLORS)]
+                                                 if rng.random() < 0.3 else [])
         rows.append((name, q, answers))
     csv_path = out / "data.csv"
     with open(csv_path, "w", encoding="utf-8") as f:
