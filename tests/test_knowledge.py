@@ -183,3 +183,24 @@ def test_retrieval_eval_and_prompt():
     np.testing.assert_allclose(np.diag(sims), 1.0, atol=1e-6)
     prompt = format_knowledge_prompt("mèo là gì?", DOCS[:2])
     assert "Câu hỏi" in prompt and "[2]" in prompt
+
+
+def test_chroma_store_import_gated():
+    """ChromaVectorStore exists for parity but raises a clear ImportError
+    without chromadb; the factory never selects it on 'auto'."""
+    import pytest
+    from vivqa_tpu.knowledge import ChromaVectorStore, create_vector_store
+    try:
+        import chromadb  # noqa: F401
+        has = True
+    except ImportError:
+        has = False
+    if has:
+        store = create_vector_store("chroma", dim=8)
+        store.add(["a", "b"], np.eye(2, 8, dtype=np.float32))
+        ids, _ = store.search(np.eye(1, 8, dtype=np.float32), top_k=1)
+        assert ids[0][0] == "a"
+    else:
+        with pytest.raises(ImportError):
+            ChromaVectorStore(dim=8)
+        assert create_vector_store("auto", dim=8) is not None

@@ -162,10 +162,70 @@ class FAISSVectorStore(BaseVectorStore):
             {"ids": self._ids, "dim": self.dim}))
 
 
+class ChromaVectorStore(BaseVectorStore):
+    """ChromaDB-backed store (reference :520-681). Behind the same
+    import gate as FAISS: the class exists for parity wherever chromadb
+    is installed; `create_vector_store("auto")` falls back gracefully
+    when it is not (it is absent from this image)."""
+
+    def __init__(self, dim: Optional[int] = None,
+                 collection_name: str = "vivqa_kb",
+                 persist_directory: Optional[str] = None,
+                 metric: str = "cosine"):
+        try:
+            import chromadb
+        except ImportError as e:
+            raise ImportError(
+                "chromadb is not installed; use FAISSVectorStore or "
+                "InMemoryVectorStore (create_vector_store falls back "
+                "automatically)") from e
+        self.dim = dim
+        if persist_directory:
+            self._client = chromadb.PersistentClient(path=persist_directory)
+        else:
+            self._client = chromadb.Client()
+        space = {"cosine": "cosine", "l2": "l2", "ip": "ip"}[metric]
+        self._col = self._client.get_or_create_collection(
+            collection_name, metadata={"hnsw:space": space})
+
+    def __len__(self):
+        return self._col.count()
+
+    def add(self, ids: Sequence[str], vectors: np.ndarray) -> None:
+        v = np.asarray(vectors, np.float32)
+        if self.dim is None:
+            self.dim = v.shape[-1]
+        self._col.add(ids=list(ids), embeddings=v.tolist())
+
+    def remove(self, ids: Sequence[str]) -> int:
+        before = len(self)
+        self._col.delete(ids=list(ids))
+        return before - len(self)
+
+    def search(self, queries: np.ndarray, top_k: int = 5):
+        q = np.atleast_2d(np.asarray(queries, np.float32))
+        res = self._col.query(query_embeddings=q.tolist(),
+                              n_results=min(top_k, max(len(self), 1)))
+        ids = res["ids"]
+        # chroma returns distances; convert cosine distance -> similarity
+        scores = np.asarray([[1.0 - d for d in row]
+                             for row in res["distances"]], np.float32)
+        return ids, scores
+
+    def save(self, path: str | Path) -> None:
+        # PersistentClient already writes through; record metadata only
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.with_suffix(".json").write_text(json.dumps(
+            {"backend": "chroma", "dim": self.dim}))
+
+
 def create_vector_store(backend: str = "auto", dim: Optional[int] = None,
                         **kwargs) -> BaseVectorStore:
     """Factory (reference :683). 'auto' prefers FAISS, falls back to
-    in-memory when faiss is absent."""
+    in-memory when faiss is absent; 'chroma' requires chromadb."""
+    if backend == "chroma":
+        return ChromaVectorStore(dim=dim, **kwargs)
     if backend in ("auto", "faiss"):
         try:
             return FAISSVectorStore(dim or kwargs.pop("dim", 512), **kwargs)
