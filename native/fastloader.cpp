@@ -1,4 +1,4 @@
-// fastloader — native JPEG decode + bilinear resize + normalize.
+// fastloader — native JPEG decode + resize + augment + normalize.
 //
 // The hot host-side path of the input pipeline: turning image files into
 // normalized float32 (S, S, 3) tensors ready for device_put. The
@@ -9,9 +9,18 @@
 // Exposed C ABI (consumed via cffi, vivqa_tpu/data/fastloader.py):
 //   fl_decode_resize_normalize: one JPEG buffer -> float32 HWC
 //   fl_batch_load:              N file paths    -> float32 NHWC (threaded)
+//   fl_batch_load_train:        N file paths    -> augmented float32 NHWC
+//                               (flip / color jitter / grayscale /
+//                                rotation / translation / random erasing,
+//                                matching the PIL presets in
+//                                vivqa_tpu/data/augmentation.py; the
+//                                geometric ops compose into ONE affine
+//                                bilinear sample instead of PIL's three
+//                                sequential resampling passes)
 //
 // Build: native/build.sh  (g++ -O3 -shared -ljpeg)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -103,23 +112,200 @@ void resize_normalize(const uint8_t* src, int w, int h, int s,
   }
 }
 
-int load_one(const char* path, int s, const float* mean, const float* stdv,
-             float* out) {
+inline float clampf(float v) { return v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v); }
+
+// Read a whole file into `data`. Returns 0 on success.
+int read_file(const char* path, std::vector<uint8_t>* data) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> data(len > 0 ? len : 0);
-  if (len <= 0 || fread(data.data(), 1, len, f) != static_cast<size_t>(len)) {
+  data->resize(len > 0 ? len : 0);
+  if (len <= 0 || fread(data->data(), 1, len, f) != static_cast<size_t>(len)) {
     fclose(f);
     return -2;
   }
   fclose(f);
+  return 0;
+}
+
+// -- training-path augmentation ---------------------------------------------
+
+// splitmix64: per-image deterministic RNG stream from (seed, index).
+struct Rng {
+  uint64_t state;
+  explicit Rng(uint64_t seed) : state(seed) {}
+  uint64_t next_u64() {
+    uint64_t z = (state += 0x9e3779b97f4a7c15ull);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+    return z ^ (z >> 31);
+  }
+  // uniform in [0, 1)
+  float next_f32() {
+    return static_cast<float>(next_u64() >> 40) * (1.0f / 16777216.0f);
+  }
+  // uniform in [lo, hi)
+  float uniform(float lo, float hi) { return lo + (hi - lo) * next_f32(); }
+  // uniform integer in [lo, hi] inclusive
+  int randint(int lo, int hi) {
+    return lo + static_cast<int>(next_u64() % (static_cast<uint64_t>(hi - lo) + 1));
+  }
+};
+
+struct TrainAugParams {
+  float flip_p;
+  float jitter;     // brightness/contrast/saturation factor range +-jitter
+  float gray_p;
+  float rot_deg;    // rotation sampled uniform in [-rot_deg, +rot_deg]
+  float trans;      // translation as a fraction of width/height
+  float erase_p;
+};
+
+// Augmented sample: compose flip + rotation + translation + scale into one
+// inverse affine map (output pixel -> source pixel), bilinear sample with
+// black fill out of bounds (PIL rotate/transform default), then apply
+// color jitter / grayscale / normalize / random erasing.
+void augment_sample(const uint8_t* src, int w, int h, int s,
+                    const float* mean, const float* stdv,
+                    const TrainAugParams& p, Rng& rng, float* out) {
+  // draw all random decisions up front (stable order)
+  const bool flip = rng.next_f32() < p.flip_p;
+  float fb = 1.0f, fc = 1.0f, fs = 1.0f;
+  if (p.jitter > 0.0f) {
+    fb = 1.0f + rng.uniform(-p.jitter, p.jitter);   // brightness
+    fc = 1.0f + rng.uniform(-p.jitter, p.jitter);   // contrast
+    fs = 1.0f + rng.uniform(-p.jitter, p.jitter);   // saturation
+  }
+  const bool gray = p.gray_p > 0.0f && rng.next_f32() < p.gray_p;
+  float angle = 0.0f;
+  if (p.rot_deg > 0.0f)
+    angle = rng.uniform(-p.rot_deg, p.rot_deg) * 3.14159265358979f / 180.0f;
+  float dx = 0.0f, dy = 0.0f;
+  if (p.trans > 0.0f) {
+    dx = rng.uniform(-p.trans, p.trans) * w;
+    dy = rng.uniform(-p.trans, p.trans) * h;
+  }
+
+  // Inverse map: out (x, y) -> source (sx, sy).
+  //   1. scale s -> (w, h)
+  //   2. rotate by -angle about the source center
+  //   3. translate by (dx, dy) (inverse: add — PIL's AFFINE matrix is the
+  //      inverse map with +dx meaning "sample from x+dx")
+  //   4. horizontal flip in source space
+  const float scale_x = static_cast<float>(w) / s;
+  const float scale_y = static_cast<float>(h) / s;
+  const float ca = cosf(angle), sa = sinf(angle);
+  const float cx = 0.5f * w, cy = 0.5f * h;
+
+  // PIL Contrast uses the mean of the L (luma) image as the pivot —
+  // only worth a full pass when the contrast factor is active.
+  float luma_mean = 0.5f;
+  if (fc != 1.0f) {
+    float luma_sum = 0.0f;
+    const size_t npx = static_cast<size_t>(w) * h;
+    for (size_t i = 0; i < npx; ++i) {
+      const uint8_t* q = src + i * 3;
+      luma_sum += 0.299f * q[0] + 0.587f * q[1] + 0.114f * q[2];
+    }
+    luma_mean = luma_sum / (npx > 0 ? npx : 1) / 255.0f;
+  }
+
+  for (int y = 0; y < s; ++y) {
+    for (int x = 0; x < s; ++x) {
+      // center-aligned scale to source coords
+      float sx0 = (x + 0.5f) * scale_x - 0.5f;
+      float sy0 = (y + 0.5f) * scale_y - 0.5f;
+      // rotate about center (inverse rotation)
+      float rx = ca * (sx0 - cx) - sa * (sy0 - cy) + cx;
+      float ry = sa * (sx0 - cx) + ca * (sy0 - cy) + cy;
+      // translation (inverse)
+      rx += dx;
+      ry += dy;
+      // flip
+      if (flip) rx = (w - 1) - rx;
+
+      float* o = out + (static_cast<size_t>(y) * s + x) * 3;
+      float px[3] = {0.0f, 0.0f, 0.0f};     // black fill out of bounds
+      if (rx >= -1.0f && rx < w && ry >= -1.0f && ry < h) {
+        int x0 = rx < 0 ? -1 : static_cast<int>(rx);
+        int y0 = ry < 0 ? -1 : static_cast<int>(ry);
+        float wx = rx - x0, wy = ry - y0;
+        int x0c = x0 < 0 ? 0 : x0, x1c = x0 + 1 >= w ? w - 1 : x0 + 1;
+        int y0c = y0 < 0 ? 0 : y0, y1c = y0 + 1 >= h ? h - 1 : y0 + 1;
+        // zero-weight rows/cols outside the image (black border)
+        float w00 = (x0 >= 0 && y0 >= 0) ? (1 - wx) * (1 - wy) : 0.0f;
+        float w01 = (x0 + 1 < w && y0 >= 0) ? wx * (1 - wy) : 0.0f;
+        float w10 = (x0 >= 0 && y0 + 1 < h) ? (1 - wx) * wy : 0.0f;
+        float w11 = (x0 + 1 < w && y0 + 1 < h) ? wx * wy : 0.0f;
+        const uint8_t* p00 = src + (static_cast<size_t>(y0c) * w + x0c) * 3;
+        const uint8_t* p01 = src + (static_cast<size_t>(y0c) * w + x1c) * 3;
+        const uint8_t* p10 = src + (static_cast<size_t>(y1c) * w + x0c) * 3;
+        const uint8_t* p11 = src + (static_cast<size_t>(y1c) * w + x1c) * 3;
+        for (int c = 0; c < 3; ++c)
+          px[c] = (w00 * p00[c] + w01 * p01[c] + w10 * p10[c] +
+                   w11 * p11[c]) / 255.0f;
+      }
+
+      // color jitter (PIL enhance semantics, applied in PIL's order:
+      // brightness -> contrast -> saturation)
+      float r = px[0] * fb, g = px[1] * fb, b = px[2] * fb;
+      r = luma_mean + fc * (r - luma_mean);
+      g = luma_mean + fc * (g - luma_mean);
+      b = luma_mean + fc * (b - luma_mean);
+      float l = 0.299f * r + 0.587f * g + 0.114f * b;
+      r = l + fs * (r - l);
+      g = l + fs * (g - l);
+      b = l + fs * (b - l);
+      if (gray) {
+        float gl = 0.299f * r + 0.587f * g + 0.114f * b;
+        r = g = b = gl;
+      }
+      o[0] = (clampf(r) - mean[0]) / stdv[0];
+      o[1] = (clampf(g) - mean[1]) / stdv[1];
+      o[2] = (clampf(b) - mean[2]) / stdv[2];
+    }
+  }
+
+  // random erasing: uniform-value rectangle (pre-normalization value)
+  if (p.erase_p > 0.0f && rng.next_f32() < p.erase_p) {
+    int eh = rng.randint(s / 8, s / 4 > s / 8 ? s / 4 : s / 8);
+    int ew = rng.randint(s / 8, s / 4 > s / 8 ? s / 4 : s / 8);
+    int ey = rng.randint(0, s - eh);
+    int ex = rng.randint(0, s - ew);
+    float v = rng.next_f32();
+    for (int y = ey; y < ey + eh; ++y)
+      for (int x = ex; x < ex + ew; ++x) {
+        float* o = out + (static_cast<size_t>(y) * s + x) * 3;
+        for (int c = 0; c < 3; ++c) o[c] = (v - mean[c]) / stdv[c];
+      }
+  }
+}
+
+int load_one(const char* path, int s, const float* mean, const float* stdv,
+             float* out) {
+  std::vector<uint8_t> data;
+  int rc = read_file(path, &data);
+  if (rc != 0) return rc;
   int w = 0, h = 0;
   uint8_t* rgb = decode_jpeg(data.data(), data.size(), &w, &h);
   if (!rgb) return -3;
   resize_normalize(rgb, w, h, s, mean, stdv, out);
+  free(rgb);
+  return 0;
+}
+
+int load_one_train(const char* path, int s, const float* mean,
+                   const float* stdv, const TrainAugParams& p, Rng& rng,
+                   float* out) {
+  std::vector<uint8_t> data;
+  int rc = read_file(path, &data);
+  if (rc != 0) return rc;
+  int w = 0, h = 0;
+  uint8_t* rgb = decode_jpeg(data.data(), data.size(), &w, &h);
+  if (!rgb) return -3;
+  augment_sample(rgb, w, h, s, mean, stdv, p, rng, out);
   free(rgb);
   return 0;
 }
@@ -153,6 +339,34 @@ int fl_batch_load(const char** paths, int n, int s, const float* mean,
       if (i >= n) break;
       float* dst = out + static_cast<size_t>(i) * s * s * 3;
       int rc = load_one(paths[i], s, mean, stdv, dst);
+      if (rc != 0) memset(dst, 0, sizeof(float) * s * s * 3);
+      status[i] = rc;
+    }
+  };
+  for (int t = 0; t < threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
+// Training-path batch: decode + one-pass affine augment + jitter +
+// normalize + erase, per-image RNG derived from (seed, index) so a batch
+// is deterministic given the seed regardless of thread scheduling.
+int fl_batch_load_train(const char** paths, int n, int s, const float* mean,
+                        const float* stdv, float* out, int* status,
+                        int threads, uint64_t seed, float flip_p,
+                        float jitter, float gray_p, float rot_deg,
+                        float trans, float erase_p) {
+  if (threads < 1) threads = 1;
+  TrainAugParams p{flip_p, jitter, gray_p, rot_deg, trans, erase_p};
+  std::vector<std::thread> pool;
+  std::atomic_int next{0};
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      float* dst = out + static_cast<size_t>(i) * s * s * 3;
+      Rng rng(seed * 0x9e3779b97f4a7c15ull + static_cast<uint64_t>(i));
+      int rc = load_one_train(paths[i], s, mean, stdv, p, rng, dst);
       if (rc != 0) memset(dst, 0, sizeof(float) * s * s * 3);
       status[i] = rc;
     }

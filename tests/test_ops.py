@@ -73,7 +73,14 @@ def test_matmul_grad_embedding_matches_take():
                                np.asarray(loss_ref(table)), rtol=1e-6)
     g1 = jax.grad(loss_ours)(table)
     g2 = jax.grad(loss_ref)(table)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    # the one-hot matmul runs in bf16 (f32 accumulation) for MXU rate —
+    # gradients match to bf16 precision, structure matches exactly
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-2, atol=2e-2)
+    unused = np.setdiff1d(np.arange(50), np.asarray(ids).ravel())
+    assert np.all(np.asarray(g1)[unused] == 0.0)   # untouched rows: exact 0
+    # duplicated id (4) accumulates both contributions
+    assert np.abs(np.asarray(g1)[4]).sum() > 0
 
     # module drop-in: same param name + attend()
     m = MatmulGradEmbed(50, 8)

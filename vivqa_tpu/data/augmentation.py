@@ -61,6 +61,38 @@ class ImageAugmentation:
             # (reference dataset.py:83,102)
             return Image.new("RGB", (self.image_size, self.image_size))
 
+    def batch(self, paths: Sequence) -> np.ndarray | None:
+        """Native batch fast path: decode + (train-mode) augment + normalize
+        all `paths` in one C++ call (native/fastloader.cpp). Returns None
+        when the library isn't built or any input isn't a path — callers
+        fall back to the per-sample PIL `__call__`. Failed decodes become
+        black placeholders, matching the PIL fallback semantics."""
+        if not all(isinstance(p, (str, bytes)) or hasattr(p, "__fspath__")
+                   for p in paths):
+            return None
+        from vivqa_tpu.data import fastloader
+        if not fastloader.is_available():
+            return None
+        if self.mode == "train":
+            seed = self.rng.getrandbits(63)   # advances with each batch
+            out, status = fastloader.batch_load_train(
+                [str(p) for p in paths], self.image_size, self.p, seed,
+                self.mean, self.std)
+        else:
+            out, status = fastloader.batch_load(
+                [str(p) for p in paths], self.image_size, self.mean, self.std)
+        for i in np.nonzero(status != 0)[0]:
+            if status[i] == -3:
+                # decode failure — possibly a non-JPEG (PNG etc.); give the
+                # PIL path a chance before declaring the image bad
+                out[i] = self(paths[i])
+            else:
+                # missing/unreadable file: black placeholder, matching the
+                # PIL fallback (reference dataset.py:83,102) — NOT raw
+                # zeros in normalized space
+                out[i] = (-self.mean / self.std).astype(np.float32)
+        return out
+
     def __call__(self, img) -> np.ndarray:
         im = self._load(img)
         s = self.image_size

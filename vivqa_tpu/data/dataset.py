@@ -42,14 +42,13 @@ class VQADataset:
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _meta(self, idx: int) -> Dict[str, np.ndarray]:
+        """Everything except the image tensor."""
         s = self.samples[idx]
-        pixel = self.transform(s.image_path)
         enc = self.tokenizer.encode_batch([s.question],
                                           self.max_question_length)
         label = self.answer2id.get(majority_answer(s.answers), 0)
         return {
-            "pixel_values": pixel.astype(np.float32),
             "input_ids": enc["input_ids"][0],
             "attention_mask": enc["attention_mask"][0],
             "labels": np.int32(label),
@@ -58,13 +57,35 @@ class VQADataset:
             "question": s.question,
         }
 
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self._meta(idx)
+        pixel = self.transform(self.samples[idx].image_path)
+        item["pixel_values"] = pixel.astype(np.float32)
+        return item
+
+    def load_batch(self, indices) -> Dict | None:
+        """Collated batch with images through the native fast loader (one
+        threaded C++ call — decode + augment + normalize). Returns None
+        when the native library is unavailable; the BatchLoader then
+        falls back to per-item __getitem__ + collate."""
+        pixels = self.transform.batch(
+            [self.samples[int(i)].image_path for i in indices])
+        if pixels is None:
+            return None
+        batch = vqa_collate([self._meta(int(i)) for i in indices])
+        batch["pixel_values"] = pixels
+        return batch
+
 
 def vqa_collate(items: List[Dict]) -> Dict:
     """Stack tensors; pass through python fields (reference
-    vqa_collate_fn, dataset.py:204-251)."""
+    vqa_collate_fn, dataset.py:204-251). Keys absent from the items
+    (e.g. pixel_values when the native batch loader supplies them) are
+    skipped."""
     out = {}
     for k in ("pixel_values", "input_ids", "attention_mask", "labels"):
-        out[k] = np.stack([it[k] for it in items])
+        if k in items[0]:
+            out[k] = np.stack([it[k] for it in items])
     for k in ("answer_counts", "all_answers", "question"):
         out[k] = [it[k] for it in items]
     return out
@@ -98,10 +119,9 @@ class GenerativeVQADataset:
             return answers[self._rng.randint(len(answers))]
         return answers[0]
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _meta(self, idx: int) -> Dict[str, np.ndarray]:
         s = self.samples[idx]
         tok = self.tokenizer
-        pixel = self.transform(s.image_path)
         q = tok.encode_batch([s.question], self.max_question_length)
         answer = self._pick_answer(s.answers)
         # raw answer ids without special tokens
@@ -119,7 +139,6 @@ class GenerativeVQADataset:
         labels = labels + [IGNORE_INDEX] * pad
         dec_mask = dec_mask + [0] * pad
         return {
-            "pixel_values": pixel.astype(np.float32),
             "question_ids": q["input_ids"][0],
             "question_mask": q["attention_mask"][0],
             "decoder_input_ids": np.asarray(dec_in, np.int32),
@@ -130,12 +149,29 @@ class GenerativeVQADataset:
             "question": s.question,
         }
 
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self._meta(idx)
+        pixel = self.transform(self.samples[idx].image_path)
+        item["pixel_values"] = pixel.astype(np.float32)
+        return item
+
+    def load_batch(self, indices) -> Dict | None:
+        """Native-loader batch path (see VQADataset.load_batch)."""
+        pixels = self.transform.batch(
+            [self.samples[int(i)].image_path for i in indices])
+        if pixels is None:
+            return None
+        batch = generative_collate([self._meta(int(i)) for i in indices])
+        batch["pixel_values"] = pixels
+        return batch
+
 
 def generative_collate(items: List[Dict]) -> Dict:
     out = {}
     for k in ("pixel_values", "question_ids", "question_mask",
               "decoder_input_ids", "decoder_mask", "labels"):
-        out[k] = np.stack([it[k] for it in items])
+        if k in items[0]:
+            out[k] = np.stack([it[k] for it in items])
     for k in ("answer_text", "all_answers", "question"):
         out[k] = [it[k] for it in items]
     return out

@@ -49,12 +49,17 @@ class BatchLoader:
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         self.epoch += 1
         end = n - n % self.batch_size if self.drop_last else n
+        load_batch = getattr(self.dataset, "load_batch", None)
         for start in range(0, end, self.batch_size):
             chunk = list(idx[start:start + self.batch_size])
             num_valid = len(chunk)
             if num_valid < self.batch_size and self.pad_last:
                 chunk = chunk + [chunk[-1]] * (self.batch_size - num_valid)
-            batch = self.collate([self.dataset[int(i)] for i in chunk])
+            # native C++ fast path (decode+augment+normalize in one call);
+            # None -> per-item PIL fallback
+            batch = load_batch(chunk) if load_batch is not None else None
+            if batch is None:
+                batch = self.collate([self.dataset[int(i)] for i in chunk])
             batch["_num_valid"] = num_valid
             yield batch
 
