@@ -1,37 +1,300 @@
-"""Fusion zoo demo (reference: examples/fusion_examples.py).
+"""Fusion zoo tutorial (reference: examples/fusion_examples.py).
 
-Runs every fusion strategy on synthetic encoder outputs and prints the
-fused shapes. Works on CPU:
-    JAX_PLATFORMS=cpu python examples/fusion_examples.py
+Every multimodal fusion strategy the framework ships, demonstrated on
+synthetic encoder outputs with explanations of what each architecture
+does, which config knobs matter, and how to pick one.
+
+The reference implements concat/add/bilinear/cross-attention inside the
+meta-arch (src/modeling/meta_arch/vqa_model.py:314-433) and the
+CrossAttention/QFormer/SingleStream zoo in
+src/modeling/fusion/fusion_approaches.py; MCAN and MuTAN are *declared*
+there (enum strings, vqa_config.py:35-36) but never implemented — here
+they are real.
+
+Sections
+  1. The fusion contract (inputs/outputs every strategy shares)
+  2. The eight strategies, one by one
+  3. Config variants: depth / heads / query tokens / Tucker rank
+  4. Masking: how padded question tokens are excluded
+  5. Parameter / FLOP budget comparison
+  6. A micro-benchmark under jit
+  7. Training sanity: can each fusion learn a multimodal XOR?
+
+Run (any platform; shapes are tiny):
+    python examples/fusion_examples.py
+    python examples/fusion_examples.py --skip-training   # faster
 """
 
 # allow running straight from a source checkout
+import argparse
 import pathlib
 import sys
+import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vivqa_tpu.models.config import FusionConfig, FUSION_TYPES
 from vivqa_tpu.models.fusion import create_fusion
 
+DIM = 32          # keep everything tiny: the point is the API, not scale
+BATCH = 4
+V_TOKENS = 9      # e.g. 3x3 grid of patch features
+T_TOKENS = 12     # padded question length
 
-def main():
-    rng = jax.random.PRNGKey(0)
-    visual = {"pooled": jax.random.normal(rng, (2, 64)),
-              "tokens": jax.random.normal(rng, (2, 9, 64))}
-    text = {"pooled": jax.random.normal(rng, (2, 64)),
-            "tokens": jax.random.normal(rng, (2, 12, 64)),
-            "mask": jnp.ones((2, 12), jnp.int32)}
+
+def banner(title):
+    print(f"\n{'=' * 64}\n{title}\n{'=' * 64}")
+
+
+def synthetic_encoder_outputs(rng):
+    """What the visual / text encoders hand to fusion.
+
+    Every encoder in vivqa_tpu (ViT / ResNet / Swin / DINOv2 / BERT
+    family) produces this dict contract:
+      visual = {"pooled": (B, D), "tokens": (B, Lv, D)}
+      text   = {"pooled": (B, D), "tokens": (B, Lt, D), "mask": (B, Lt)}
+    """
+    kv, kt, km = jax.random.split(rng, 3)
+    visual = {"pooled": jax.random.normal(kv, (BATCH, DIM)),
+              "tokens": jax.random.normal(kv, (BATCH, V_TOKENS, DIM))}
+    # last 4 question positions are padding for 2 of the 4 samples
+    mask = np.ones((BATCH, T_TOKENS), np.int32)
+    mask[:2, -4:] = 0
+    text = {"pooled": jax.random.normal(kt, (BATCH, DIM)),
+            "tokens": jax.random.normal(kt, (BATCH, T_TOKENS, DIM)),
+            "mask": jnp.asarray(mask)}
+    return visual, text
+
+
+STRATEGY_NOTES = {
+    "concat": (
+        "Project both pooled vectors to hidden_dim, concatenate, MLP.\n"
+        "  The simplest baseline — no token-level interaction at all.\n"
+        "  Use when you want a fast, strong-encoder-weak-fusion setup."),
+    "add": (
+        "Project then element-wise ADD the pooled vectors (+LayerNorm).\n"
+        "  Even cheaper than concat; the reference's default fusion\n"
+        "  (vqa_model.py fusion_type default 'add')."),
+    "bilinear": (
+        "tanh(v) * tanh(q) gated product of pooled vectors.\n"
+        "  Multiplicative interactions capture 'feature AND feature'\n"
+        "  patterns that concat/add cannot represent linearly."),
+    "cross_attention": (
+        "Bidirectional token-level cross-attention (ViLBERT/LXMERT\n"
+        "  style): question tokens attend over patches and vice versa,\n"
+        "  for num_layers rounds, then pool. First fusion here that\n"
+        "  uses the token sequences and the padding mask."),
+    "mcan": (
+        "Modular Co-Attention Network (Yu et al. 2019): a stack of\n"
+        "  self-attention over question + question-guided attention\n"
+        "  over image, finished by attentional flatten-and-fuse.\n"
+        "  Declared-but-missing in the reference; implemented here.\n"
+        "  The flagship fusion for the north-star config."),
+    "mutan": (
+        "Multimodal Tucker fusion (Ben-younes et al. 2017): a\n"
+        "  low-rank (mutan_rank) Tucker decomposition of the full\n"
+        "  bilinear v (x) q interaction. Tiny parameter count for a\n"
+        "  full bilinear expressiveness. Also declared-only upstream."),
+    "qformer": (
+        "BLIP-2-style Querying Transformer: num_query_tokens learned\n"
+        "  queries self-attend and cross-attend into BOTH modality\n"
+        "  token sets; queries become the fused sequence. Decouples\n"
+        "  fused length from input lengths — good for long visual\n"
+        "  sequences."),
+    "single_stream": (
+        "ViLT-style single stream: concatenate [CLS] + visual tokens +\n"
+        "  text tokens with modality embeddings into ONE transformer.\n"
+        "  Joint attention over everything; the heaviest but most\n"
+        "  flexible interaction pattern."),
+}
+
+
+def section_contract():
+    banner("1. The fusion contract")
+    print(__doc__.split("Sections")[0])
+    print("All eight strategies implement:")
+    print("  fusion.apply(vars, visual, text, deterministic=...) ->")
+    print('    {"pooled": (B, hidden_dim),      # for the answer head')
+    print('     "tokens": (B, L_fused, hidden), # for decoders / MoE')
+    print('     "mask":   (B, L_fused)}         # fused-token validity')
+    print("so the meta-architecture can swap them by config string alone.")
+
+
+def section_strategies(rng, visual, text):
+    banner("2. The eight strategies")
+    results = {}
     for ft in FUSION_TYPES:
-        cfg = FusionConfig(fusion_type=ft, hidden_dim=64, num_heads=4,
+        cfg = FusionConfig(fusion_type=ft, hidden_dim=DIM, num_heads=4,
                            num_layers=1, num_query_tokens=8)
         fusion = create_fusion(cfg)
-        out = fusion.apply(fusion.init(rng, visual, text), visual, text)
-        print(f"{ft:>16}: pooled={tuple(out['pooled'].shape)} "
-              f"tokens={tuple(out['tokens'].shape)}")
+        variables = fusion.init(rng, visual, text)
+        out = fusion.apply(variables, visual, text)
+        n_params = sum(p.size for p in jax.tree.leaves(variables))
+        results[ft] = (out, n_params)
+        print(f"\n--- {ft} ({n_params:,} params) ---")
+        print(STRATEGY_NOTES[ft])
+        print(f"  pooled {tuple(out['pooled'].shape)}  "
+              f"tokens {tuple(out['tokens'].shape)}  "
+              f"mask {tuple(out['mask'].shape)}")
+    return results
+
+
+def section_variants(rng, visual, text):
+    banner("3. Config variants")
+    print("Depth and head count scale the attention fusions; the\n"
+          "specialty knobs are per-architecture:\n")
+    variants = [
+        ("mcan", dict(num_layers=2), "deeper co-attention stack"),
+        ("mcan", dict(mcan_flat_glimpses=2),
+         "2 attentional glimpses in the flatten step"),
+        ("mutan", dict(mutan_rank=4), "rank-4 Tucker core (fewest params)"),
+        ("mutan", dict(mutan_rank=16), "rank-16 Tucker core"),
+        ("qformer", dict(num_query_tokens=4), "4 learned queries"),
+        ("qformer", dict(num_query_tokens=16), "16 learned queries"),
+        ("cross_attention", dict(num_layers=3, num_heads=8),
+         "3 rounds of bidirectional exchange"),
+    ]
+    for ft, kw, why in variants:
+        base = dict(fusion_type=ft, hidden_dim=DIM, num_heads=4, num_layers=1)
+        base.update(kw)
+        cfg = FusionConfig(**base)
+        fusion = create_fusion(cfg)
+        variables = fusion.init(rng, visual, text)
+        out = fusion.apply(variables, visual, text)
+        n = sum(p.size for p in jax.tree.leaves(variables))
+        print(f"  {ft:>16} {str(kw):<38} -> tokens "
+              f"{tuple(out['tokens'].shape)}  {n:>7,} params   ({why})")
+
+
+def section_masking(rng, visual, text):
+    banner("4. Masking")
+    print("Token-level fusions must ignore padded question positions.\n"
+          "Demonstration: zero the mask for the second half of every\n"
+          "question and verify the pooled output CHANGES for attention\n"
+          "fusions (they renormalize over fewer keys) but not for\n"
+          "pooled-only fusions (they never see the mask):\n")
+    half_mask = np.asarray(text["mask"]).copy()
+    half_mask[:, T_TOKENS // 2:] = 0
+    text_half = dict(text, mask=jnp.asarray(half_mask))
+    for ft in ("add", "cross_attention", "mcan", "single_stream"):
+        cfg = FusionConfig(fusion_type=ft, hidden_dim=DIM, num_heads=4,
+                           num_layers=1, num_query_tokens=8)
+        fusion = create_fusion(cfg)
+        variables = fusion.init(rng, visual, text)
+        a = fusion.apply(variables, visual, text)["pooled"]
+        b = fusion.apply(variables, visual, text_half)["pooled"]
+        delta = float(jnp.abs(a - b).max())
+        uses = "uses mask" if delta > 1e-6 else "pooled-only (mask n/a)"
+        print(f"  {ft:>16}: max |delta pooled| = {delta:.4f}   [{uses}]")
+
+
+def section_budget(results):
+    banner("5. Parameter budget")
+    print(f"  {'fusion':>16} {'params':>10}   relative")
+    base = min(n for _, n in results.values())
+    for ft, (_, n) in sorted(results.items(), key=lambda kv: kv[1][1]):
+        bar = "#" * max(1, int(round(n / base)))
+        print(f"  {ft:>16} {n:>10,}   {bar}")
+    print("\nMuTAN achieves bilinear interactions at near-additive cost —\n"
+          "that is the point of the Tucker decomposition.")
+
+
+def section_jit(rng, visual, text):
+    banner("6. Micro-benchmark under jit")
+    print("Fusions are flax modules: jit the apply, measure steady-state.\n"
+          "(Tiny shapes — read relative, not absolute, numbers.)\n")
+    for ft in FUSION_TYPES:
+        cfg = FusionConfig(fusion_type=ft, hidden_dim=DIM, num_heads=4,
+                           num_layers=1, num_query_tokens=8)
+        fusion = create_fusion(cfg)
+        variables = fusion.init(rng, visual, text)
+        fn = jax.jit(lambda v, vis, txt: fusion.apply(v, vis, txt)["pooled"])
+        fn(variables, visual, text).block_until_ready()   # compile
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fn(variables, visual, text)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / 20
+        print(f"  {ft:>16}: {dt * 1e6:8.1f} us/call")
+
+
+def section_training(rng, visual, text):
+    banner("7. Training sanity — multimodal XOR")
+    print("Label = XOR(sign of a visual feature, sign of a text feature).\n"
+          "A fusion that cannot model multiplicative interactions cannot\n"
+          "solve this; watch bilinear/mcan/mutan separate from 'add':\n")
+    import optax
+    k1, k2 = jax.random.split(rng)
+    n = 256
+    vs = jax.random.normal(k1, (n, DIM))
+    ts = jax.random.normal(k2, (n, DIM))
+    labels = ((vs[:, 0] > 0) ^ (ts[:, 0] > 0)).astype(jnp.int32)
+    big_visual = {"pooled": vs, "tokens": vs[:, None, :]}
+    big_text = {"pooled": ts, "tokens": ts[:, None, :],
+                "mask": jnp.ones((n, 1), jnp.int32)}
+
+    for ft in ("add", "bilinear", "mutan", "mcan"):
+        cfg = FusionConfig(fusion_type=ft, hidden_dim=DIM, num_heads=4,
+                           num_layers=1, dropout=0.0)
+
+        import flax.linen as nn
+
+        class Probe(nn.Module):
+            cfg: FusionConfig
+
+            @nn.compact
+            def __call__(self, v, t):
+                h = create_fusion(self.cfg)(v, t)["pooled"]
+                return nn.Dense(2)(h.astype(jnp.float32))
+
+        probe = Probe(cfg)
+        params = probe.init(rng, big_visual, big_text)
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logits = probe.apply(p, big_visual, big_text)
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(150):
+            params, opt_state, loss = step(params, opt_state)
+        preds = probe.apply(params, big_visual, big_text).argmax(-1)
+        acc = float((preds == labels).mean())
+        verdict = "solves XOR" if acc > 0.9 else "stuck near chance"
+        print(f"  {ft:>16}: train acc {acc:.2f} after 150 steps  [{verdict}]")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-training", action="store_true",
+                    help="skip the (slower) section-7 training demo")
+    args = ap.parse_args()
+
+    rng = jax.random.PRNGKey(0)
+    visual, text = synthetic_encoder_outputs(rng)
+
+    section_contract()
+    results = section_strategies(rng, visual, text)
+    section_variants(rng, visual, text)
+    section_masking(rng, visual, text)
+    section_budget(results)
+    section_jit(rng, visual, text)
+    if not args.skip_training:
+        section_training(rng, visual, text)
+
+    banner("Done")
+    print("Pick a fusion by config string alone:\n"
+          '  VQAModelConfig(fusion=FusionConfig(fusion_type="mcan", ...))\n'
+          "See examples/complete_vqa_pipeline.py for the full model.")
 
 
 if __name__ == "__main__":

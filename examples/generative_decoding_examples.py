@@ -1,45 +1,222 @@
-"""Generative decoding demo (reference: examples/vivqa_examples.py):
-KV-cached greedy / top-k / top-p / beam over a random-init model."""
+"""Generative VQA + decoding tutorial (reference:
+examples/vivqa_examples.py + the generate() path of
+src/modeling/meta_arch/generative_vqa_model.py:599-703).
+
+The reference's generate() re-runs the FULL decoder stack on the
+growing sequence every step (no KV cache) and accepts `num_beams`
+without implementing beam search. This framework fixes both: a
+KV-cached `lax.scan` decode loop and a real batched beam search with
+cache reordering and Google-NMT length penalty (t5x-style), all inside
+one jit.
+
+Sections
+  1. The generative model: encoder -> fusion -> decoder
+  2. Teacher forcing: how training batches are built
+  3. KV cache mechanics: why decode is O(L), not O(L^2)
+  4. The four decoding strategies
+  5. Beam search internals: scores, length penalty, cache reorder
+  6. EOS handling and padding in a fixed-length scan
+  7. Options: MoE in the decoder, knowledge memory (generative RAG)
+
+Run (any platform; shapes are tiny):
+    python examples/generative_decoding_examples.py
+"""
 
 # allow running straight from a source checkout
 import pathlib
 import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vivqa_tpu.models.config import (GenerativeVQAConfig, TextEncoderConfig,
-                                     VisualEncoderConfig)
+from vivqa_tpu.models.config import (GenerativeVQAConfig, MoEModelConfig,
+                                     TextEncoderConfig, VisualEncoderConfig)
 from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
 from vivqa_tpu.models.generative import GenerativeVQAModel
 
+VOCAB = 50
+BOS, PAD, EOS = 0, 1, 49
 
-def main():
-    cfg = GenerativeVQAConfig(
+
+def banner(title):
+    print(f"\n{'=' * 64}\n{title}\n{'=' * 64}")
+
+
+def tiny_config(**kw):
+    base = dict(
         visual=VisualEncoderConfig(image_size=32, patch_size=8,
                                    hidden_dim=32, num_layers=1, num_heads=2),
-        text=TextEncoderConfig(vocab_size=50, hidden_dim=32, num_layers=1,
+        text=TextEncoderConfig(vocab_size=VOCAB, hidden_dim=32, num_layers=1,
                                num_heads=2, max_length=8),
-        fusion_dim=32, fusion_layers=1, fusion_heads=2, vocab_size=50,
+        fusion_dim=32, fusion_layers=1, fusion_heads=2, vocab_size=VOCAB,
         decoder_layers=2, decoder_heads=2, decoder_dim=32,
         decoder_ff_dim=64, max_answer_length=8, dropout=0.0,
-        bos_token_id=0, eos_token_id=49, pad_token_id=1)
+        bos_token_id=BOS, eos_token_id=EOS, pad_token_id=PAD)
+    base.update(kw)
+    return GenerativeVQAConfig(**base)
+
+
+def section_model(model, params, px, q):
+    banner("1. The generative model")
+    print("""GenerativeVQAModel (reference generative_vqa_model.py:479-703):
+
+  visual encoder (CLIP-ViT class)  -> (B, Lv, D) patch tokens
+  question encoder (PhoBERT class) -> (B, Lq, D) word tokens
+  CrossModalFusion: concat token streams -> transformer -> optional
+    MoE -> LayerNorm -> the MEMORY the decoder cross-attends over
+  TransformerDecoder: causal self-attn + cross-attn + tied output
+    projection (input embedding matrix reused as the LM head)
+""")
+    out = model.apply({"params": params}, px, q,
+                      jnp.full((2, 4), BOS, jnp.int32))
+    print(f"  teacher-forcing logits: {tuple(out['logits'].shape)}  "
+          "(B, L_dec, vocab)")
+    n = sum(p.size for p in jax.tree.leaves(params))
+    print(f"  tiny demo model: {n:,} params")
+
+
+def section_teacher_forcing():
+    banner("2. Teacher forcing")
+    print("""Training batches follow the reference's construction exactly
+(generative_dataset.py:243-305) — these quirks define metric parity:
+
+  answer tokens:       [tok1 tok2 tok3]
+  decoder_input_ids =  [BOS  tok1 tok2 tok3]
+  labels            =  [tok1 tok2 tok3 EOS]
+  label padding     =  -100  (ignored by the CE loss; token-count
+                              normalization uses only real tokens)
+
+The loss also adds label smoothing and the MoE aux loss when MoE is
+enabled. Perplexity is exp(min(loss, 100)) — the reference's clamp,
+kept for comparability.""")
+
+
+def section_kv_cache(model, params, px, q):
+    banner("3. KV cache mechanics")
+    print("""Without a cache, step t re-encodes t tokens: total O(L^2) decoder
+work per sequence (this is what the reference ships). With a cache,
+each layer stores its past keys/values; step t computes attention
+for ONE query against cached keys — O(L) total.
+
+The cache is a pytree of fixed-size (B, L_max, H, Dh) buffers
+(static shapes for XLA) initialized by model.encode(); the scan
+writes slice t each step. Cached-vs-full-stack parity is asserted in
+tests/test_generative.py.
+""")
+    enc = model.apply({"params": params}, px, q, method=model.encode)
+    # size the cache the way build_generate_fn does: one decode-mode pass
+    _, variables = model.apply(
+        {"params": params}, jnp.full((2, 8), BOS, jnp.int32),
+        enc["memory"], enc["memory_mask"],
+        method=model.decode_step_full, mutable=["cache"])
+    cache = variables["cache"]
+    n_bufs = len(jax.tree.leaves(cache))
+    example_buf = jax.tree.leaves(cache)[0]
+    print(f"  memory: {tuple(enc['memory'].shape)}  "
+          f"cache: {n_bufs} buffers, e.g. {tuple(example_buf.shape)}")
+    print("  Decode work per answer token is one fused step program —\n"
+          "  XLA compiles the whole loop once (lax.scan), no per-step\n"
+          "  Python dispatch.")
+
+
+def section_strategies(model, params, px, q):
+    banner("4. The four decoding strategies")
+    print("""  greedy  argmax each step — deterministic, fastest
+  top_k   sample from the k most likely tokens (temperature applies)
+  top_p   nucleus sampling: smallest set with cumulative prob >= p
+  beam    keep num_beams hypotheses, return the best by
+          length-penalized log-prob — the quality choice for VQA
+""")
+    for strategy in ("greedy", "top_k", "top_p", "beam"):
+        dc = DecodeConfig(max_length=8, strategy=strategy, num_beams=3,
+                          bos_token_id=BOS, eos_token_id=EOS,
+                          pad_token_id=PAD)
+        gen = jax.jit(build_generate_fn(model, dc))
+        seqs, scores = gen(params, px, q, rng=jax.random.PRNGKey(7))
+        print(f"  {strategy:>7}: seq[0]={np.asarray(seqs)[0].tolist()} "
+              f"score={float(scores[0]):.2f}")
+    print("\n  (random-init model -> the tokens are noise; the point is the\n"
+          "   API: one jitted function per (strategy, shape) pair)")
+
+
+def section_beam_internals():
+    banner("5. Beam search internals")
+    print("""The folded-beam design (t5x-style, models/decoding.py:118-195):
+
+  * beams ride the batch axis: (B, num_beams, ...) flattened to
+    (B*num_beams, ...) so the decoder kernel is identical to greedy
+  * each step: log-softmax -> add to running scores -> top-2k over
+    (beam x vocab) -> REORDER THE KV CACHE by gathering the parent
+    beam of each survivor (_gather_beams) — forgetting this corrupts
+    every continuation silently
+  * finished hypotheses are frozen (EOS -> only PAD can follow) and
+    scored with the Google-NMT length penalty
+    ((5+len)/6)^alpha, alpha=length_penalty=0.6
+  * the loop is a lax.scan with static max_length -> one compile
+
+Under tensor parallelism the gather runs on SHARDED cache buffers;
+tests/test_multichip.py asserts replicated-vs-TP decode parity.""")
+
+
+def section_eos():
+    banner("6. EOS handling in a fixed-length scan")
+    print("""XLA cannot early-exit a scan, so sequences that finish keep
+"decoding" — but a finished mask forces their next token to PAD and
+freezes their score. The returned (B, L_max) tensor is then exactly
+what the batched metrics expect: real tokens, one EOS, PAD tail.
+Per-sequence EOS in a BATCH is the part the reference never solved
+(it generated sample-by-sample); here it is a vectorized mask.""")
+
+
+def section_options():
+    banner("7. Options: decoder MoE and knowledge memory")
+    print("""* moe_position='decoder' (declared-but-unimplemented upstream):
+    MoEModelConfig(use_moe=True, moe_position="decoder") swaps the
+    decoder FFNs for MoE layers — aux losses flow into the train loss.
+* Generative RAG (north-star config 5): KnowledgeModelConfig(
+    use_knowledge=True) appends retrieved-context embeddings as extra
+    MEMORY tokens (fusion-in-decoder style); the decoder cross-attends
+    over [fused tokens; knowledge tokens] with a combined mask.
+    The KnowledgeProvider stage supplies the tensors (see
+    examples/knowledge_base_examples.py section 6).
+""")
+    cfg = tiny_config(moe=MoEModelConfig(use_moe=True, num_experts=2,
+                                         top_k=1, expert_hidden_dim=32,
+                                         moe_position="decoder"))
+    model = GenerativeVQAModel(cfg)
+    px = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+    q = jnp.ones((2, 8), jnp.int32)
+    out_vars = model.init({"params": jax.random.PRNGKey(0),
+                           "router": jax.random.PRNGKey(1)}, px, q,
+                          jnp.full((2, 4), BOS, jnp.int32))
+    out = model.apply({"params": out_vars["params"]}, px, q,
+                      jnp.full((2, 4), BOS, jnp.int32),
+                      rngs={"router": jax.random.PRNGKey(2)})
+    print(f"  decoder-MoE forward OK: logits {tuple(out['logits'].shape)}, "
+          f"aux_loss={float(out['aux_loss']):.4f}")
+
+
+def main():
+    cfg = tiny_config()
     model = GenerativeVQAModel(cfg)
     px = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
     q = jnp.ones((2, 8), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), px, q,
                         jnp.zeros((2, 8), jnp.int32))["params"]
 
-    for strategy in ("greedy", "top_k", "top_p", "beam"):
-        dc = DecodeConfig(max_length=8, strategy=strategy, num_beams=3,
-                          bos_token_id=0, eos_token_id=49, pad_token_id=1)
-        gen = jax.jit(build_generate_fn(model, dc))
-        seqs, scores = gen(params, px, q, rng=jax.random.PRNGKey(7))
-        print(f"{strategy:>7}: seqs={np.asarray(seqs)[0].tolist()} "
-              f"score={float(scores[0]):.2f}")
+    section_model(model, params, px, q)
+    section_teacher_forcing()
+    section_kv_cache(model, params, px, q)
+    section_strategies(model, params, px, q)
+    section_beam_internals()
+    section_eos()
+    section_options()
+    banner("Done")
+    print("Serve this model: bench_serving.py measures answers/sec and\n"
+          "p50/p95 latency; the demo REPL lives in the generative pipeline\n"
+          "(--mode demo).")
 
 
 if __name__ == "__main__":
