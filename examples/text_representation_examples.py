@@ -113,8 +113,8 @@ checking the pooled vector is unchanged:
         delta = float(jnp.abs(a - b).max())
         print(f"  {pooling:>4}: |pooled(padded) - pooled(padded)| = {delta:.1e}"
               "   (identical inputs sanity)")
-    print("  (tests/test_encoders.py asserts the real padding-invariance\n"
-          "   property batch-vs-single.)")
+    print("  (tests/test_models.py asserts the real padding-invariance\n"
+          "   property: different pad content, identical pooled output.)")
 
 
 def section_deberta(rng, ids, mask):
