@@ -31,6 +31,7 @@ from vivqa_tpu.train import OptimizerConfig, SchedulerConfig
 def main():
     n = int(os.environ.get("CONV_SAMPLES", 256))
     epochs = int(os.environ.get("CONV_EPOCHS", 30))
+    lr = float(os.environ.get("CONV_LR", 3e-4))
     with tempfile.TemporaryDirectory() as d:
         csv, imgs = generate_synthetic_vivqa(d, n=n, image_size=64,
                                              learnable=True)
@@ -53,7 +54,7 @@ def main():
                 mesh=MeshConfig(model_axis=1)),
             training=TrainingPipelineConfig(
                 num_epochs=epochs,
-                optimizer=OptimizerConfig(learning_rate=3e-4,
+                optimizer=OptimizerConfig(learning_rate=lr,
                                           weight_decay=0.0),
                 scheduler=SchedulerConfig(name="warmup_cosine",
                                           warmup_ratio=0.05),

@@ -29,26 +29,40 @@ _COLOR_RGB = {"đỏ": (200, 40, 40), "xanh": (40, 80, 200),
               "đen": (25, 25, 25)}
 
 
+# object hues: saturated mixes disjoint from the background palette, so
+# "màu gì" (background) and "có gì" (object band) stay separable signals
+_OBJECT_RGB = {"con mèo": (230, 40, 230),    # magenta
+               "con chó": (40, 220, 220),    # cyan
+               "quả táo": (240, 130, 20),    # orange
+               "cái bàn": (130, 40, 220),    # purple
+               "chiếc xe": (20, 160, 90)}    # teal
+
+
 def _render_scene(image_size: int, color: str, obj: str, count: str,
                   rng_img: np.random.RandomState) -> np.ndarray:
-    """Image that ENCODES the answers: background = the color, a row of
-    bright blocks = the count, a grayscale band whose intensity
-    identifies the object. Makes (image, question) -> answer learnable,
-    so convergence checks measure real multimodal learning rather than
-    label memorization."""
+    """Image that ENCODES the answers, redundantly and robustly:
+      background (top 2/3)  = the color answer
+      bottom-third band     = the object answer (distinct hue)
+      count                 = bright blocks AND a bar of width ~ count
+    Every code is a coarse global feature that survives the photometric
+    and flip augmentations — the bench must prove the TRAINING STACK
+    learns a multimodal mapping (answers are unrecoverable from the
+    question alone), not pose a hard fine-grained vision task."""
     arr = np.zeros((image_size, image_size, 3), np.float32)
     arr[:] = _COLOR_RGB[color]
-    # count blocks along the top row
+    # object hue fills the bottom third
+    arr[2 * image_size // 3:, :] = _OBJECT_RGB[obj]
+    # count: discrete bright blocks along the top...
     k = _COUNTS.index(count) + 1
     bw = max(image_size // 8, 2)
     for b in range(k):
         x0 = b * (bw + 2)
         if x0 + bw <= image_size:
             arr[2:2 + bw, x0:x0 + bw] = 255.0
-    # object band: intensity codes the object id
-    level = 60 + 40 * _OBJECTS.index(obj)
-    y0 = image_size // 2
-    arr[y0:y0 + max(image_size // 6, 2), :] = level
+    # ...plus a dark bar whose WIDTH is proportional to the count
+    # (redundant global geometry; flip only mirrors it)
+    yb = image_size // 2
+    arr[yb:yb + max(image_size // 10, 2), : (k * image_size) // 6] = 10.0
     noise = rng_img.randn(image_size, image_size, 3) * 8.0
     return np.clip(arr + noise, 0, 255).astype(np.uint8)
 
