@@ -126,19 +126,19 @@ def main():
         from vivqa_tpu.models.heads import AnswerHead
         from vivqa_tpu.models.config import AnswerHeadConfig
 
-        fusion = create_fusion(FusionConfig(
-            fusion_type="mcan", hidden_dim=512, num_heads=8, num_layers=4))
-        moe = create_moe_layer(MoEConfig(
-            num_experts=4, input_dim=512,
-            expert=ExpertConfig(hidden_dim=1024),
-            router=RouterConfig(router_type="noisy_topk", top_k=2)))
-        head = AnswerHead(AnswerHeadConfig(), num_answers=1000)
-
         class Fuse(nn.Module):
             @nn.compact
             def __call__(self, visual, text, *, deterministic=True):
+                fusion = create_fusion(FusionConfig(
+                    fusion_type="mcan", hidden_dim=512, num_heads=8,
+                    num_layers=4))
+                moe = create_moe_layer(MoEConfig(
+                    num_experts=4, input_dim=512,
+                    expert=ExpertConfig(hidden_dim=1024),
+                    router=RouterConfig(router_type="noisy_topk", top_k=2)))
+                head = AnswerHead(AnswerHeadConfig(), num_answers=1000)
                 out = fusion(visual, text, deterministic=deterministic)
-                tokens, aux = moe(out["tokens"][:, None][:, 0],
+                tokens, aux = moe(out["tokens"],
                                   deterministic=deterministic)
                 logits = head(tokens.mean(axis=1),
                               deterministic=deterministic)
