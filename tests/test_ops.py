@@ -129,6 +129,9 @@ def test_pallas_backward_interpret_matches_xla():
         dict(Lq=256, Lk=256, causal=True),
         dict(Lq=128, Lk=256, causal=True),
         dict(Lq=256, Lk=128, causal=False),
+        # Lq > Lk causal: rows 0..127 are masked against EVERY key — the
+        # case where a folded lse (m + log l) breaks the backward's p
+        dict(Lq=256, Lk=128, causal=True),
     ]
     for c in cases:
         q, k, v = _qkv(B=1, H=2, Lq=c["Lq"], Lk=c["Lk"], D=64)
@@ -138,8 +141,8 @@ def test_pallas_backward_interpret_matches_xla():
 
         fa._INTERPRET = True
         try:
-            o, lse = fa._flash_forward_lse(q, k, v, c["causal"], bq, bk)
-            dq, dk, dv = fa._flash_backward(q, k, v, o, lse, g,
+            o, m, l = fa._flash_forward_lse(q, k, v, c["causal"], bq, bk)
+            dq, dk, dv = fa._flash_backward(q, k, v, o, m, l, g,
                                             c["causal"], bq, bk)
         finally:
             fa._INTERPRET = False

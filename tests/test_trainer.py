@@ -119,3 +119,46 @@ def test_trainer_resume_restores_full_state(setup, tmp_path):
     mus = [x for x in jax.tree.leaves(jax.device_get(out2["state"].opt_state))
            if hasattr(x, "shape") and np.asarray(x).size > 1]
     assert any(np.abs(np.asarray(m)).max() > 0 for m in mus)
+
+
+def test_trainer_resume_across_prng_impls(setup, tmp_path):
+    """A checkpoint whose rng key was written under one PRNG impl (e.g.
+    threefry, (2,) uint32) must resume cleanly under another (unsafe_rbg,
+    (4,)): params AND optimizer state adopt, only the rng falls back to
+    the fresh seed-derived key. Regression for the broad-except fallback
+    that silently reset Adam moments over the rng leaf alone."""
+    import jax.numpy as jnp
+    model, params, mesh, loader = setup
+    cfg = TrainerConfig(num_epochs=1,
+                        optimizer=OptimizerConfig(learning_rate=5e-3),
+                        checkpoint_dir=str(tmp_path / "xp"),
+                        log_every=100, resume=False,
+                        early_stopping_patience=10)
+    t1 = VQATrainer(cfg, model, params, mesh)
+    # simulate the other PRNG impl: replace the state rng with a
+    # different-shape uint32 key BEFORE training/saving
+    out1 = t1.train(loader, loader)
+    saved_params = jax.device_get(out1["state"].params)
+
+    from vivqa_tpu.train.checkpoint import (CheckpointConfig,
+                                            CheckpointManager)
+    t2 = VQATrainer(cfg.replace(num_epochs=2, resume=True),
+                    model, params, mesh)
+    # force a mismatched rng shape in the resuming state
+    st = t2._build_state(len(loader))
+    odd_rng = jnp.zeros((4,) if np.asarray(st.rng).shape == (2,) else (2,),
+                        jnp.uint32)
+    st = st.replace(rng=odd_rng)
+    ckpt = CheckpointManager(CheckpointConfig(directory=str(tmp_path / "xp")))
+    restored, _ = t2._restore_full(ckpt, st)
+    ckpt.close()
+    # params adopted from the checkpoint despite the rng mismatch
+    a = jax.tree.leaves(saved_params)[0]
+    b = jax.tree.leaves(jax.device_get(restored.params))[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # optimizer state adopted (non-zero moments), rng kept the fresh key
+    mus = [x for x in jax.tree.leaves(jax.device_get(restored.opt_state))
+           if hasattr(x, "shape") and np.asarray(x).size > 1]
+    assert any(np.abs(np.asarray(m)).max() > 0 for m in mus)
+    assert np.asarray(restored.rng).shape == np.asarray(odd_rng).shape
+    assert int(restored.step) == len(loader)

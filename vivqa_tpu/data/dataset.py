@@ -175,3 +175,11 @@ def generative_collate(items: List[Dict]) -> Dict:
     for k in ("answer_text", "all_answers", "question"):
         out[k] = [it[k] for it in items]
     return out
+
+
+# the native load_batch fast path is only equivalent to the per-item
+# path when the loader uses the dataset's own collate — BatchLoader
+# checks this marker before short-circuiting (a custom collate must
+# keep seeing every item)
+VQADataset.default_collate = staticmethod(vqa_collate)
+GenerativeVQADataset.default_collate = staticmethod(generative_collate)

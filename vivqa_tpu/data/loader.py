@@ -50,6 +50,12 @@ class BatchLoader:
         self.epoch += 1
         end = n - n % self.batch_size if self.drop_last else n
         load_batch = getattr(self.dataset, "load_batch", None)
+        # the native path builds the batch with the DATASET's collate;
+        # honor a custom collate by falling back to per-item assembly
+        if load_batch is not None and \
+                self.collate is not getattr(self.dataset,
+                                            "default_collate", None):
+            load_batch = None
         for start in range(0, end, self.batch_size):
             chunk = list(idx[start:start + self.batch_size])
             num_valid = len(chunk)

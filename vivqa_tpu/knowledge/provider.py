@@ -100,21 +100,24 @@ class KnowledgeProvider:
     def contexts_for(self, questions: Sequence[str]):
         """-> (embeddings (B, K, D) f32, mask (B, K) i32); per-question
         results memoized so repeat epochs cost zero retrievals."""
-        missing = [q for q in questions if q not in self._cache]
+        fresh: dict = {}
+        missing = [q for q in questions
+                   if q not in self._cache and q not in fresh]
         if missing:
             uniq = list(dict.fromkeys(missing))
             emb, mask, _ = self.rag.retrieve_batch(uniq)
             for i, q in enumerate(uniq):
+                # always keep this batch's results in `fresh` so a full
+                # memo cache never forces a second retrieval of the same
+                # question within the batch
+                fresh[q] = (emb[i], mask[i])
                 if len(self._cache) < self.config.cache_size:
-                    self._cache[q] = (emb[i], mask[i])
+                    self._cache[q] = fresh[q]
         K, D = self.config.num_retrieved, self.dim
         out_e = np.zeros((len(questions), K, D), np.float32)
         out_m = np.zeros((len(questions), K), np.int32)
         for i, q in enumerate(questions):
-            hit = self._cache.get(q)
-            if hit is None:                     # cache full fallback
-                e, m, _ = self.rag.retrieve_batch([q])
-                hit = (e[0], m[0])
+            hit = self._cache.get(q) or fresh.get(q)
             out_e[i], out_m[i] = hit
         return out_e, out_m
 

@@ -185,6 +185,7 @@ class ChromaVectorStore(BaseVectorStore):
         else:
             self._client = chromadb.Client()
         space = {"cosine": "cosine", "l2": "l2", "ip": "ip"}[metric]
+        self._metric = metric
         self._col = self._client.get_or_create_collection(
             collection_name, metadata={"hnsw:space": space})
 
@@ -207,8 +208,15 @@ class ChromaVectorStore(BaseVectorStore):
         res = self._col.query(query_embeddings=q.tolist(),
                               n_results=min(top_k, max(len(self), 1)))
         ids = res["ids"]
-        # chroma returns distances; convert cosine distance -> similarity
-        scores = np.asarray([[1.0 - d for d in row]
+        # chroma returns distances; convert to a similarity per metric:
+        # cosine/ip distance d -> 1 - d; l2 (squared) -> 1/(1+d) so the
+        # score stays bounded (0, 1] and monotonic (1 - d would go
+        # arbitrarily negative and misweight hybrid linear fusion)
+        if self._metric == "l2":
+            conv = lambda d: 1.0 / (1.0 + d)
+        else:
+            conv = lambda d: 1.0 - d
+        scores = np.asarray([[conv(d) for d in row]
                              for row in res["distances"]], np.float32)
         return ids, scores
 

@@ -139,9 +139,17 @@ def _flash_forward(q, k, v, causal: bool, block_q: int, block_k: int):
     return out.reshape(B, H, Lq, D)
 
 
-def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
-                      causal: bool, sm_scale: float, q_offset: int):
-    """Forward that also writes the per-row logsumexp (training path)."""
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, m_out_ref, l_out_ref, *,
+                      block_k: int, causal: bool, sm_scale: float,
+                      q_offset: int):
+    """Forward that also writes the per-row softmax stats (m, l).
+
+    m and l are kept SEPARATE (not folded into lse = m + log l): for a
+    fully-masked causal row m = -1e30 absorbs log(l) in f32, and the
+    backward's p = exp(s - lse) would evaluate to 1 per key instead of
+    the uniform 1/L the forward (and the XLA VJP) produce. With the raw
+    stats the backward computes p = exp(s - m) / l, exact for masked and
+    unmasked rows alike."""
     q = q_ref[...].astype(jnp.float32) * sm_scale
     block_q, d = q.shape
     Lk = k_ref.shape[0]
@@ -181,8 +189,8 @@ def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
     acc, m, l = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[...] = (acc / l).astype(o_ref.dtype)
-    # logsumexp of the SCALED logits: lse = m + log(l)
-    lse_ref[...] = (m + jnp.log(l)).astype(jnp.float32)
+    m_out_ref[...] = m.astype(jnp.float32)
+    l_out_ref[...] = l.astype(jnp.float32)
 
 
 def _flash_forward_lse(q, k, v, causal, block_q, block_k):
@@ -195,7 +203,7 @@ def _flash_forward_lse(q, k, v, causal, block_q, block_k):
     kernel = functools.partial(_flash_kernel_lse, block_k=block_k,
                                causal=causal, sm_scale=sm_scale,
                                q_offset=Lk - Lq)
-    o, lse = pl.pallas_call(
+    o, m, l = pl.pallas_call(
         kernel,
         grid=(B * H, Lq // block_q),
         in_specs=[
@@ -206,19 +214,22 @@ def _flash_forward_lse(q, k, v, causal, block_q, block_k):
         out_specs=[
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
             jax.ShapeDtypeStruct((B * H, Lq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Lq, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(qf, kf, vf)
-    return o.reshape(B, H, Lq, D), lse.reshape(B, H, Lq)
+    return (o.reshape(B, H, Lq, D), m.reshape(B, H, Lq),
+            l.reshape(B, H, Lq))
 
 
-def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          dk_ref, dv_ref, *, block_q: int, causal: bool,
-                          sm_scale: float, q_offset: int):
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q: int,
+                          causal: bool, sm_scale: float, q_offset: int):
     """One (block_k, d) tile of K/V vs all Q blocks -> (dk, dv) tile."""
     k = k_ref[...].astype(jnp.float32)                     # (bk, d)
     v = v_ref[...].astype(jnp.float32)
@@ -231,9 +242,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk, dv = carry
         q = q_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
         do = do_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(qi * block_q, block_q), :]     # (bq, 1) f32
+        m = m_ref[pl.ds(qi * block_q, block_q), :]         # (bq, 1) f32
+        l = l_ref[pl.ds(qi * block_q, block_q), :]
         delta = delta_ref[pl.ds(qi * block_q, block_q), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        keep = None
         if causal:
             q_pos = (q_offset + qi * block_q
                      + jax.lax.broadcasted_iota(jnp.int32,
@@ -241,11 +254,18 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             k_pos = (kb * block_k
                      + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_k), 1))
-            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)                               # (bq, bk)
+            keep = q_pos >= k_pos
+            s = jnp.where(keep, s, NEG_INF)
+        p = jnp.exp(s - m) / l                             # (bq, bk)
         dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        if keep is not None:
+            # the forward's where() cuts d(logits) at masked entries:
+            # ds is zero there even when p = 1/L (fully-masked rows,
+            # which still contribute p to dv above — matching jax.vjp
+            # through the XLA reference exactly)
+            ds = jnp.where(keep, ds, 0.0)
         dk = dk + jnp.dot(ds.T, q,
                           preferred_element_type=jnp.float32) * sm_scale
         return dk, dv
@@ -262,13 +282,14 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                         dq_ref, *, block_k: int, causal: bool,
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref,
+                         delta_ref, dq_ref, *, block_k: int, causal: bool,
                          sm_scale: float, q_offset: int):
     """One (block_q, d) tile of queries vs all K/V blocks -> dq tile."""
     q = q_ref[...].astype(jnp.float32)
     do = do_ref[...].astype(jnp.float32)
-    lse = lse_ref[...]                                      # (bq, 1)
+    m = m_ref[...]                                          # (bq, 1)
+    l = l_ref[...]
     delta = delta_ref[...]
     block_q, d = q.shape
     Lk = k_ref.shape[0]
@@ -279,6 +300,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+        keep = None
         if causal:
             q_pos = (q_offset + qi * block_q
                      + jax.lax.broadcasted_iota(jnp.int32,
@@ -286,10 +308,13 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             k_pos = (kb * block_k
                      + jax.lax.broadcasted_iota(jnp.int32,
                                                 (block_q, block_k), 1))
-            s = jnp.where(q_pos >= k_pos, s, NEG_INF)
-        p = jnp.exp(s - lse)
+            keep = q_pos >= k_pos
+            s = jnp.where(keep, s, NEG_INF)
+        p = jnp.exp(s - m) / l
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
+        if keep is not None:
+            ds = jnp.where(keep, ds, 0.0)   # see dkv kernel comment
         return dq + jnp.dot(ds, k,
                             preferred_element_type=jnp.float32) * sm_scale
 
@@ -304,7 +329,7 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref[...] = dq.astype(dq_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, g, causal, block_q, block_k):
+def _flash_backward(q, k, v, o, m, l, g, causal, block_q, block_k):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     sm_scale = 1.0 / math.sqrt(D)
@@ -315,7 +340,8 @@ def _flash_backward(q, k, v, o, lse, g, causal, block_q, block_k):
     kf = k.reshape(B * H, Lk, D)
     vf = v.reshape(B * H, Lk, D)
     gf = g.reshape(B * H, Lq, D)
-    lsef = lse.reshape(B * H, Lq, 1)
+    mf = m.reshape(B * H, Lq, 1)
+    lf = l.reshape(B * H, Lq, 1)
     deltaf = delta.reshape(B * H, Lq, 1)
     q_offset = Lk - Lq
 
@@ -332,6 +358,7 @@ def _flash_backward(q, k, v, o, lse, g, causal, block_q, block_k):
             pl.BlockSpec((None, Lq, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, Lq, 1), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((None, Lq, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((None, Lq, 1), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, block_k, D), lambda b, j: (b, j, 0)),
@@ -342,7 +369,7 @@ def _flash_backward(q, k, v, o, lse, g, causal, block_q, block_k):
             jax.ShapeDtypeStruct((B * H, Lk, D), v.dtype),
         ],
         interpret=_INTERPRET,
-    )(qf, kf, vf, gf, lsef, deltaf)
+    )(qf, kf, vf, gf, mf, lf, deltaf)
 
     dq_kernel = functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
                                   causal=causal, sm_scale=sm_scale,
@@ -357,11 +384,12 @@ def _flash_backward(q, k, v, o, lse, g, causal, block_q, block_k):
             pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
             pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Lq, D), q.dtype),
         interpret=_INTERPRET,
-    )(qf, kf, vf, gf, lsef, deltaf)
+    )(qf, kf, vf, gf, mf, lf, deltaf)
 
     return (dq.reshape(B, H, Lq, D), dk.reshape(B, H, Lk, D),
             dv.reshape(B, H, Lk, D))
@@ -392,18 +420,18 @@ def _flash(q, k, v, causal):
 def _flash_fwd(q, k, v, causal):
     bq, bk = _pick_blocks(q.shape[2], k.shape[2])
     if k.shape[2] >= _PALLAS_BWD_MIN_LK:
-        # training path: forward emits the logsumexp the Pallas backward
-        # needs (one extra (Lq,) f32 row per head — negligible)
-        o, lse = _flash_forward_lse(q, k, v, causal, bq, bk)
-        return o, (q, k, v, o, lse)
-    return _flash(q, k, v, causal), (q, k, v, None, None)
+        # training path: forward emits the softmax stats the Pallas
+        # backward needs (two extra (Lq,) f32 rows per head — negligible)
+        o, m, l = _flash_forward_lse(q, k, v, causal, bq, bk)
+        return o, (q, k, v, o, m, l)
+    return _flash(q, k, v, causal), (q, k, v, None, None, None)
 
 
 def _flash_bwd(causal, res, g):
-    q, k, v, o, lse = res
-    if lse is not None:
+    q, k, v, o, m, l = res
+    if m is not None:
         bq, bk = _pick_blocks(q.shape[2], k.shape[2])
-        return _flash_backward(q, k, v, o, lse, g, causal, bq, bk)
+        return _flash_backward(q, k, v, o, m, l, g, causal, bq, bk)
     _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, causal=causal),
                      q, k, v)
     return vjp(g)

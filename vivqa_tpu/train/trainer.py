@@ -177,35 +177,83 @@ class VQATrainer:
                                "step": state.step, "rng": state.rng})
 
     def _restore_full(self, ckpt, state):
-        """Restore the full train state; fall back to params-only for
-        checkpoints written before opt_state was saved (or when the
-        optimizer tree changed, e.g. a different strategy)."""
-        target = self._state_dict(state)
-        try:
-            restored, meta = ckpt.restore(target=target)
-            full = True
-        except Exception:
-            restored, meta = ckpt.restore()
-            full = False
+        """Restore the full train state without letting one mismatched
+        leaf degrade the rest:
+
+        - a raw restore first (inspection only: layout + the
+          checkpoint's rng key shape)
+        - then a targeted restore against an ABSTRACT target built with
+          ShapeDtypeStructs — no device_get of the live state, and the
+          rng slot is shaped like the CHECKPOINT's key, so a PRNG-impl
+          change ((2,) threefry vs (4,) unsafe_rbg) cannot fail the
+          whole restore and silently reset the optimizer
+        - rng adopts only when its shape matches the live key; otherwise
+          the fresh seed-derived key stays and a warning says so
+        - params-only fallback (partial_load shape filtering) when the
+          optimizer tree itself changed or predates full-state saves
+        - step always continues (Orbax save raises on duplicate steps)
+        """
+        restored_raw, meta = ckpt.restore()   # structure inspection only
+
+        if isinstance(restored_raw, dict) and "params" in restored_raw:
+            parts = restored_raw
+        else:                             # very old layout: bare params
+            parts = {"params": restored_raw}
+
+        def abstract(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype), tree)
 
         def put(tree, like):
             return jax.device_put(
                 tree, jax.tree.map(lambda x: x.sharding, like))
 
-        state = state.replace(params=put(restored["params"], state.params))
-        if full:
+        rng_ok = "rng" in parts and \
+            jnp.shape(parts["rng"]) == jnp.shape(state.rng)
+
+        full = None
+        if "opt_state" in parts:
+            # targeted restore with an ABSTRACT target (no device_get of
+            # the live state): Orbax maps by tree path, handling the
+            # namedtuple/tuple <-> dict round-trip exactly. The rng slot
+            # uses the CHECKPOINT's key shape so a PRNG-impl change
+            # ((2,) threefry vs (4,) unsafe_rbg) can't fail the whole
+            # restore and silently reset the optimizer.
+            target = {"params": abstract(state.params),
+                      "opt_state": abstract(state.opt_state),
+                      "step": jax.ShapeDtypeStruct((), jnp.int32)}
+            if "rng" in parts:
+                target["rng"] = jax.ShapeDtypeStruct(
+                    jnp.shape(parts["rng"]), jnp.uint32)
+            try:
+                full, meta = ckpt.restore(target=target)
+            except Exception:
+                full = None
+
+        if full is not None:
             state = state.replace(
-                opt_state=put(restored["opt_state"], state.opt_state),
-                step=put(restored["step"], state.step),
-                rng=put(restored["rng"], state.rng))
+                params=put(full["params"], state.params),
+                opt_state=put(full["opt_state"], state.opt_state))
+            if rng_ok:
+                state = state.replace(rng=put(
+                    jnp.asarray(full["rng"], state.rng.dtype), state.rng))
+            else:
+                self.log.warning("checkpoint rng has a different PRNG-impl "
+                                 "key shape; keeping the seed-derived key")
+            parts["step"] = full.get("step", parts.get("step"))
         else:
-            # at minimum continue the step counter so ckpt.save never
-            # reuses a step number Orbax already has (save raises on dup)
-            latest = ckpt.latest_step() or 0
-            state = state.replace(step=jax.device_put(
-                jnp.asarray(latest, jnp.int32), state.step.sharding))
-            self.log.warning("checkpoint predates full-state saves; "
-                             "restored params only (optimizer reset)")
+            from vivqa_tpu.train.checkpoint import partial_load
+            merged, skipped = partial_load(parts["params"], state.params,
+                                           self.log)
+            state = state.replace(params=put(merged, state.params))
+            self.log.warning("optimizer state not restorable (absent or "
+                             "tree/shape changed) — optimizer reset")
+
+        step = parts.get("step", None)
+        if step is None:
+            step = ckpt.latest_step() or 0
+        state = state.replace(step=jax.device_put(
+            jnp.asarray(step, jnp.int32), state.step.sharding))
         return state, meta
 
     # -- master loop -----------------------------------------------------------
