@@ -243,3 +243,61 @@ def test_pipeline_learns_multimodal_structure(tmp_path):
     summary = VQAPipeline(cfg).run()
     losses = [h["train_loss"] for h in summary["history"]]
     assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_generative_cli_reference_flag_surface(synth, tmp_path):
+    """The generative argparse must cover the reference's flag names
+    (generative_vqa_pipeline.py:1557-1805) and map them into the config,
+    including the fan-out aliases (--hidden-size -> fusion+decoder dims)
+    and compatibility no-ops (--use-amp, --num-workers)."""
+    from vivqa_tpu.config.base import merge_cli_overrides
+    from vivqa_tpu.pipelines.generative_vqa_pipeline import (
+        GenerativeVQAPipelineConfig, _apply_flag_aliases, build_argparser)
+    csv, imgs = synth
+    args = build_argparser().parse_args([
+        "--mode", "train", "--csv-path", csv, "--images-dir", imgs,
+        "--batch-size", "4", "--epochs", "2", "--learning-rate", "0.001",
+        "--weight-decay", "0.05", "--warmup-ratio", "0.2",
+        "--gradient-accumulation", "2", "--patience", "3",
+        "--hidden-size", "64", "--num-decoder-layers", "3",
+        "--num-attention-heads", "4",
+        "--use-moe", "--moe-type", "vqa", "--moe-position", "decoder",
+        "--num-experts", "6", "--num-vision-experts", "1",
+        "--num-specialized-experts", "2", "--expert-capacity-factor", "1.5",
+        "--moe-loss-weight", "0.02",
+        "--use-knowledge", "--knowledge-base-path", "kb.json",
+        "--retriever-top-k", "7",
+        "--do-sample", "--temperature", "0.7", "--top-p", "0.85",
+        "--max-generate-length", "24", "--max-answer-length", "16",
+        "--freeze-visual", "--use-amp", "--num-workers", "4",
+        "--train-ratio", "0.7", "--val-ratio", "0.2",
+        "--text-encoder", "bartpho", "--visual-backbone", "vit",
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--enable-resource-management"])
+    cfg = merge_cli_overrides(
+        GenerativeVQAPipelineConfig(),
+        {k: v for k, v in vars(args).items()
+         if k != "config" and not k.startswith("_")})
+    cfg = _apply_flag_aliases(cfg, args)
+    assert cfg.data.batch_size == 4 and cfg.data.train_ratio == 0.7
+    assert cfg.model.fusion_dim == 64 and cfg.model.decoder_dim == 64
+    assert cfg.model.fusion_heads == 4 and cfg.model.decoder_heads == 4
+    assert cfg.model.decoder_layers == 3
+    assert cfg.model.moe.use_moe and cfg.model.moe.moe_type == "vqa"
+    assert cfg.model.moe.moe_position == "decoder"
+    assert cfg.model.moe.num_experts == 6
+    assert cfg.model.moe.capacity_factor == 1.5
+    assert cfg.training.moe_aux_weight == 0.02
+    assert cfg.model.knowledge.use_knowledge
+    assert cfg.knowledge.kb_path == "kb.json"
+    assert cfg.knowledge.num_retrieved == 7
+    assert cfg.training.decode_strategy == "top_p"
+    assert cfg.training.temperature == 0.7
+    assert cfg.training.max_generate_length == 24
+    assert cfg.training.strategy == "freeze_visual"
+    assert cfg.training.optimizer.accumulate_steps == 2
+    assert cfg.training.optimizer.weight_decay == 0.05
+    assert cfg.use_resource_manager is True
+    assert cfg.model.text.backbone == "bartpho"
+    # answer length agreed between data pipeline and decoder
+    assert cfg.model.max_answer_length == cfg.data.max_answer_length == 16

@@ -49,8 +49,18 @@ class GenerativeTrainingConfig(ConfigBase):
     checkpoint_dir: str = "checkpoints/generative"
     max_checkpoints: int = 3
     log_every: int = 10
+    # freezing strategy (full / freeze_visual / freeze_text /
+    # linear_probe / gradual_unfreeze — train/strategies.py; the
+    # question_encoder counts as the text tower)
+    strategy: str = "full"
     decode_strategy: str = "greedy"
     num_beams: int = 4
+    # sampling knobs for decode_strategy top_k / top_p (reference
+    # --temperature/--top-k/--top-p/--do-sample flags)
+    temperature: float = 1.0
+    top_k: int = 50
+    top_p: float = 0.9
+    max_generate_length: int = 0       # 0 = model.max_answer_length
     max_eval_batches: int = 0          # 0 = all
     seed: int = 42
     expert_mask: tuple = ()            # ablation masking, () = off
@@ -98,9 +108,13 @@ class GenerativeTrainingPipeline:
         log.start_stage("generative_training")
 
         total = max(1, len(train_loader) * cfg.num_epochs)
+        freeze = None
+        if cfg.strategy != "full":
+            from vivqa_tpu.train.strategies import trainable_mask
+            freeze = trainable_mask(params, cfg.strategy, 0, cfg.num_epochs)
         tx = create_optimizer(cfg.optimizer,
                               cfg.scheduler.replace(total_steps=total),
-                              params)
+                              params, freeze)
         state = place_state(
             TrainState.create(model.apply, params, tx,
                               jax.random.PRNGKey(cfg.seed)), mesh)
@@ -109,10 +123,11 @@ class GenerativeTrainingPipeline:
 
         mcfg = model.config
         gen_fn = jax.jit(build_generate_fn(model, DecodeConfig(
-            max_length=mcfg.max_answer_length,
+            max_length=cfg.max_generate_length or mcfg.max_answer_length,
             bos_token_id=mcfg.bos_token_id, eos_token_id=mcfg.eos_token_id,
             pad_token_id=mcfg.pad_token_id, strategy=cfg.decode_strategy,
-            num_beams=cfg.num_beams)))
+            num_beams=cfg.num_beams, temperature=cfg.temperature,
+            top_k=cfg.top_k, top_p=cfg.top_p)))
 
         ckpt = CheckpointManager(CheckpointConfig(
             directory=cfg.checkpoint_dir, max_to_keep=cfg.max_checkpoints,

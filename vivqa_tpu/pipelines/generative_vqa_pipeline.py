@@ -263,36 +263,156 @@ class _FakeState:
 
 
 def build_argparser() -> argparse.ArgumentParser:
+    """Grouped argparse matching the reference's flag surface
+    (reference generative_vqa_pipeline.py:1557-1805)."""
     p = argparse.ArgumentParser(description="Generative VQA pipeline (TPU)")
     p.add_argument("--mode", choices=["train", "evaluate", "inference",
                                       "demo"], default=None)
     p.add_argument("--config", type=str, default=None)
-    p.add_argument("--csv-path", dest="data.csv_path")
-    p.add_argument("--image-dir", dest="data.image_dir")
-    p.add_argument("--batch-size", dest="data.batch_size", type=int)
-    p.add_argument("--epochs", dest="training.num_epochs", type=int)
-    p.add_argument("--lr", dest="training.optimizer.learning_rate", type=float)
-    p.add_argument("--use-moe", dest="model.moe.use_moe",
-                   action="store_const", const=True, default=None)
-    p.add_argument("--moe-type", dest="model.moe.moe_type")
-    p.add_argument("--use-knowledge", dest="model.knowledge.use_knowledge",
-                   action="store_const", const=True, default=None)
-    p.add_argument("--kb-path", dest="knowledge.kb_path")
-    p.add_argument("--decode", dest="training.decode_strategy")
-    p.add_argument("--num-beams", dest="training.num_beams", type=int)
+    p.add_argument("--seed", dest="seed", type=int)
     p.add_argument("--output-dir", dest="output_dir")
+    p.add_argument("--log-dir", dest="output_dir",
+                   help="alias of --output-dir (logs live under it)")
     p.add_argument("--resume", dest="resume")
+    p.add_argument("--checkpoint-dir", dest="training.checkpoint_dir")
+
+    d = p.add_argument_group("data")
+    d.add_argument("--csv-path", dest="data.csv_path")
+    d.add_argument("--image-dir", "--images-dir", dest="data.image_dir")
+    d.add_argument("--batch-size", dest="data.batch_size", type=int)
+    d.add_argument("--train-ratio", dest="data.train_ratio", type=float)
+    d.add_argument("--val-ratio", dest="data.val_ratio", type=float)
+    d.add_argument("--max-question-length", dest="data.max_question_length",
+                   type=int)
+    d.add_argument("--max-answer-length", dest="data.max_answer_length",
+                   type=int)
+    d.add_argument("--vietnamese-optimized", dest="data.tokenizer_name",
+                   action="store_const", const="vinai/phobert-base",
+                   default=None,
+                   help="use the PhoBERT word-segmented tokenizer")
+    d.add_argument("--num-workers", type=int, default=None,
+                   help="accepted for reference-CLI compatibility; the "
+                        "loader uses a threaded native batch call + "
+                        "double-buffered device_put, not worker processes")
+
+    m = p.add_argument_group("model")
+    m.add_argument("--visual-backbone", dest="model.visual.backbone")
+    m.add_argument("--text-encoder", dest="model.text.backbone")
+    m.add_argument("--hidden-size", dest="_hidden_size", type=int,
+                   help="fusion AND decoder width (reference alias field)")
+    m.add_argument("--num-decoder-layers", dest="model.decoder_layers",
+                   type=int)
+    m.add_argument("--num-attention-heads", dest="_num_heads", type=int,
+                   help="fusion AND decoder heads")
+
+    o = p.add_argument_group("moe")
+    o.add_argument("--use-moe", dest="model.moe.use_moe",
+                   action="store_const", const=True, default=None)
+    o.add_argument("--moe-type", dest="model.moe.moe_type")
+    o.add_argument("--moe-position", dest="model.moe.moe_position")
+    o.add_argument("--num-experts", dest="model.moe.num_experts", type=int)
+    o.add_argument("--num-vision-experts",
+                   dest="model.moe.num_vision_experts", type=int)
+    o.add_argument("--num-text-experts",
+                   dest="model.moe.num_text_experts", type=int)
+    o.add_argument("--num-multimodal-experts",
+                   dest="model.moe.num_multimodal_experts", type=int)
+    o.add_argument("--num-specialized-experts",
+                   dest="model.moe.num_specialized_experts", type=int)
+    o.add_argument("--expert-capacity-factor",
+                   dest="model.moe.capacity_factor", type=float)
+    o.add_argument("--moe-loss-weight", dest="training.moe_aux_weight",
+                   type=float)
+
+    k = p.add_argument_group("knowledge")
+    k.add_argument("--use-knowledge", dest="model.knowledge.use_knowledge",
+                   action="store_const", const=True, default=None)
+    k.add_argument("--kb-path", "--knowledge-base-path",
+                   dest="knowledge.kb_path")
+    k.add_argument("--retriever-top-k", dest="knowledge.num_retrieved",
+                   type=int)
+
+    t = p.add_argument_group("training")
+    t.add_argument("--epochs", dest="training.num_epochs", type=int)
+    t.add_argument("--lr", "--learning-rate",
+                   dest="training.optimizer.learning_rate", type=float)
+    t.add_argument("--weight-decay", dest="training.optimizer.weight_decay",
+                   type=float)
+    t.add_argument("--warmup-ratio", dest="training.scheduler.warmup_ratio",
+                   type=float)
+    t.add_argument("--gradient-accumulation",
+                   dest="training.optimizer.accumulate_steps", type=int)
+    t.add_argument("--patience", dest="training.early_stopping_patience",
+                   type=int)
+    t.add_argument("--freeze-visual", dest="_freeze_visual",
+                   action="store_true", default=False)
+    t.add_argument("--freeze-text", dest="_freeze_text",
+                   action="store_true", default=False)
+    t.add_argument("--use-amp", action="store_true", default=False,
+                   help="accepted for reference-CLI compatibility; compute "
+                        "is bf16 by policy on TPU (no GradScaler needed)")
+    t.add_argument("--enable-resource-management",
+                   dest="use_resource_manager", action="store_const",
+                   const=True, default=None)
+    t.add_argument("--disable-resource-management",
+                   dest="use_resource_manager", action="store_const",
+                   const=False)
+
+    g = p.add_argument_group("generation")
+    g.add_argument("--decode", dest="training.decode_strategy",
+                   choices=["greedy", "top_k", "top_p", "beam"])
+    g.add_argument("--do-sample", dest="training.decode_strategy",
+                   action="store_const", const="top_p",
+                   help="reference flag: sampling decode (nucleus)")
+    g.add_argument("--num-beams", dest="training.num_beams", type=int)
+    g.add_argument("--temperature", dest="training.temperature", type=float)
+    g.add_argument("--top-k", dest="training.top_k", type=int)
+    g.add_argument("--top-p", dest="training.top_p", type=float)
+    g.add_argument("--max-generate-length",
+                   dest="training.max_generate_length", type=int)
     return p
+
+
+def _apply_flag_aliases(cfg, args) -> "GenerativeVQAPipelineConfig":
+    """Reference alias fields that fan out to several config slots
+    (reference GenerativeVQAConfig.__post_init__ syncing,
+    generative_vqa_model.py:88)."""
+    hs = getattr(args, "_hidden_size", None)
+    if hs:
+        cfg = cfg.replace(model=cfg.model.replace(
+            fusion_dim=hs, decoder_dim=hs))
+    nh = getattr(args, "_num_heads", None)
+    if nh:
+        cfg = cfg.replace(model=cfg.model.replace(
+            fusion_heads=nh, decoder_heads=nh))
+    if getattr(args, "_freeze_visual", False) and \
+            getattr(args, "_freeze_text", False):
+        raise SystemExit("--freeze-visual and --freeze-text are exclusive; "
+                         "use training.strategy=linear_probe to train only "
+                         "the fusion/decoder")
+    if getattr(args, "_freeze_visual", False):
+        cfg = cfg.replace(training=cfg.training.replace(
+            strategy="freeze_visual"))
+    if getattr(args, "_freeze_text", False):
+        cfg = cfg.replace(training=cfg.training.replace(
+            strategy="freeze_text"))
+    # answer length must agree between the data pipeline and the decoder
+    if cfg.data.max_answer_length != cfg.model.max_answer_length:
+        cfg = cfg.replace(model=cfg.model.replace(
+            max_answer_length=cfg.data.max_answer_length))
+    return cfg
 
 
 def main(argv=None) -> dict:
     args = build_argparser().parse_args(argv)
     cfg = (GenerativeVQAPipelineConfig.from_yaml(args.config) if args.config
            else GenerativeVQAPipelineConfig())
-    overrides = {k: v for k, v in vars(args).items() if k != "config"}
+    overrides = {k: v for k, v in vars(args).items()
+                 if k != "config" and not k.startswith("_")}
     if args.mode is not None:
         overrides["mode"] = args.mode
     cfg = merge_cli_overrides(cfg, overrides)
+    cfg = _apply_flag_aliases(cfg, args)
     return GenerativeVQAPipeline(cfg).run()
 
 
