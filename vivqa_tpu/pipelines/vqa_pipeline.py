@@ -174,16 +174,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=["train", "evaluate", "inference"],
                    default=None)
     p.add_argument("--config", type=str, default=None, help="YAML config")
-    p.add_argument("--csv-path", dest="data.csv_path")
-    p.add_argument("--image-dir", dest="data.image_dir")
+    # --images-dir / --learning-rate / --text-encoder / --text-file are
+    # the reference's flag names (vqa_pipeline.py:474) kept as aliases
+    p.add_argument("--csv-path", "--text-file", dest="data.csv_path")
+    p.add_argument("--image-dir", "--images-dir", dest="data.image_dir")
     p.add_argument("--batch-size", dest="data.batch_size", type=int)
     p.add_argument("--image-size", dest="data.image_size", type=int)
     p.add_argument("--epochs", dest="training.num_epochs", type=int)
-    p.add_argument("--lr", dest="training.optimizer.learning_rate",
-                   type=float)
+    p.add_argument("--lr", "--learning-rate",
+                   dest="training.optimizer.learning_rate", type=float)
     p.add_argument("--fusion", dest="model.model.fusion.fusion_type")
     p.add_argument("--visual-backbone", dest="model.model.visual.backbone")
-    p.add_argument("--text-backbone", dest="model.model.text.backbone")
+    p.add_argument("--text-backbone", "--text-encoder",
+                   dest="model.model.text.backbone")
     p.add_argument("--use-moe", dest="model.model.moe.use_moe",
                    action="store_const", const=True, default=None)
     p.add_argument("--use-knowledge",
