@@ -35,7 +35,12 @@ def main():
         dropout=0.0)
     model = GenerativeVQAModel(cfg)
 
-    B = 16
+    import os
+    # 16 = latency-representative serving batch; BENCH_SERVE_BATCH=64+
+    # measures the throughput-optimal regime (beam decode is launch-
+    # latency-bound at small batches — bigger batches amortize the 32
+    # sequential steps over more rows)
+    B = int(os.environ.get("BENCH_SERVE_BATCH", 16))
     rng = jax.random.PRNGKey(0)
     px = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3),
                      jnp.float32)

@@ -141,10 +141,21 @@ def beam_search(apply_fn: Callable, cache: Any, batch_size: int,
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(batch_size, K, V)
         cand = live_scores[..., None] + logp               # (B, K, V)
 
-        flat = cand.reshape(batch_size, K * V)
-        top_scores, top_flat_idx = jax.lax.top_k(flat, 2 * K)   # (B, 2K)
-        top_beam = top_flat_idx // V
-        top_tok = (top_flat_idx % V).astype(jnp.int32)
+        # Two-stage top-k: the global top-2K always lies within each
+        # beam's own top-2K, so first reduce per beam over the vocab
+        # (K parallel rows of width V), then over the K*2K survivors.
+        # One top-k over the flat (K*V)-wide axis (256k for a 64k vocab
+        # at beam 4) was the step-time bottleneck at serving batch sizes.
+        s1_scores, s1_tok = jax.lax.top_k(
+            cand.reshape(BK, V), 2 * K)                    # (BK, 2K)
+        s1_scores = s1_scores.reshape(batch_size, K, 2 * K)
+        s1_tok = s1_tok.reshape(batch_size, K, 2 * K)
+        flat = s1_scores.reshape(batch_size, K * 2 * K)
+        top_scores, flat_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        top_beam = flat_idx // (2 * K)
+        top_tok = jnp.take_along_axis(
+            s1_tok.reshape(batch_size, K * 2 * K), flat_idx,
+            axis=1).astype(jnp.int32)
 
         # Build 2K candidate sequences
         cand_seqs = jnp.take_along_axis(
