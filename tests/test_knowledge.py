@@ -174,6 +174,30 @@ def test_dedup_and_mmr():
     assert sel[0] in (0, 1) and sel[1] == 2
 
 
+def test_cluster_documents_kmeans_and_hierarchical():
+    """Three well-separated blobs must be recovered exactly by both
+    methods (reference kb_utils.py:360-400 parity)."""
+    from vivqa_tpu.knowledge import cluster_documents
+    rng = np.random.RandomState(0)
+    blobs = np.concatenate([
+        rng.randn(10, 4) * 0.05 + c
+        for c in (np.array([5, 0, 0, 0]), np.array([0, 5, 0, 0]),
+                  np.array([0, 0, 5, 0]))]).astype(np.float32)
+    for method in ("kmeans", "hierarchical"):
+        labels, centers = cluster_documents(blobs, 3, method=method)
+        assert labels.shape == (30,) and centers.shape == (3, 4)
+        # each blob maps to exactly one cluster, all three distinct
+        groups = [set(labels[i * 10:(i + 1) * 10]) for i in range(3)]
+        assert all(len(g) == 1 for g in groups)
+        assert len(set().union(*groups)) == 3
+        # centers sit near the blob means
+        for g, c in zip(groups, (5, 5, 5)):
+            k = next(iter(g))
+            assert np.linalg.norm(centers[k]) == pytest.approx(5.0, abs=0.2)
+    with pytest.raises(ValueError):
+        cluster_documents(blobs, 3, method="dbscan")
+
+
 def test_retrieval_eval_and_prompt():
     r = _dense()
     stats = evaluate_retrieval(

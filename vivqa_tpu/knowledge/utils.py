@@ -125,6 +125,74 @@ def deduplicate_by_similarity(docs: Sequence[Document],
     return keep
 
 
+def cluster_documents(embeddings: np.ndarray, n_clusters: int = 10,
+                      method: str = "kmeans", seed: int = 42,
+                      max_iter: int = 100
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Cluster documents by embedding similarity (reference kb_utils.py:
+    360-400). Returns (labels, centers).
+
+    The reference delegates to sklearn KMeans / AgglomerativeClustering;
+    this is a dependency-free numpy implementation: k-means with
+    k-means++ seeding, and bottom-up agglomerative merging with centroid
+    linkage for ``method='hierarchical'``.
+    """
+    e = np.asarray(embeddings, np.float64)
+    if e.ndim != 2 or not len(e):
+        raise ValueError("embeddings must be a non-empty (N, D) array")
+    n = len(e)
+    k = min(n_clusters, n)
+    rng = np.random.RandomState(seed)
+
+    if method == "kmeans":
+        # k-means++ seeding
+        centers = [e[rng.randint(n)]]
+        for _ in range(1, k):
+            d2 = np.min([((e - c) ** 2).sum(-1) for c in centers], axis=0)
+            total = d2.sum()
+            if total <= 0:                      # all points identical
+                centers.append(e[rng.randint(n)])
+                continue
+            centers.append(e[rng.choice(n, p=d2 / total)])
+        centers = np.stack(centers)
+        labels = np.zeros(n, np.int64)
+        for _ in range(max_iter):
+            d = ((e[:, None, :] - centers[None]) ** 2).sum(-1)
+            new_labels = d.argmin(-1)
+            if (new_labels == labels).all() and _ > 0:
+                break
+            labels = new_labels
+            for i in range(k):
+                m = labels == i
+                if m.any():
+                    centers[i] = e[m].mean(0)
+    elif method == "hierarchical":
+        # centroid-linkage agglomerative: start singleton, merge the
+        # closest centroid pair until k clusters remain
+        labels = np.arange(n, dtype=np.int64)
+        clusters = {i: [i] for i in range(n)}
+        cents = {i: e[i].copy() for i in range(n)}
+        while len(clusters) > k:
+            ids = list(clusters)
+            C = np.stack([cents[i] for i in ids])
+            d = ((C[:, None, :] - C[None]) ** 2).sum(-1)
+            np.fill_diagonal(d, np.inf)
+            a, b = np.unravel_index(d.argmin(), d.shape)
+            ia, ib = ids[a], ids[b]
+            clusters[ia] += clusters.pop(ib)
+            del cents[ib]
+            cents[ia] = e[clusters[ia]].mean(0)
+        remap = {cid: i for i, cid in enumerate(sorted(clusters))}
+        for cid, members in clusters.items():
+            labels[members] = remap[cid]
+        centers = np.zeros((k, e.shape[1]))
+        for cid, members in clusters.items():
+            centers[remap[cid]] = e[members].mean(0)
+    else:
+        raise ValueError(f"Unknown clustering method: {method}")
+    return labels.astype(np.int64), centers.astype(np.float32)
+
+
 def retrieve_diverse(query_emb: np.ndarray, candidate_embs: np.ndarray,
                      top_k: int = 5, lambda_mult: float = 0.5) -> List[int]:
     """MMR selection (reference :402): balance relevance vs novelty."""
