@@ -159,3 +159,70 @@ def test_pallas_backward_interpret_matches_xla():
                                        np.asarray(want, np.float32),
                                        atol=2e-2, rtol=1e-2,
                                        err_msg=f"{name} {c}")
+
+
+# -- batch-mix augmentation (MixUp / CutMix) ---------------------------------
+
+def test_mixup_convex_combination():
+    """Mixed image is exactly lam*a + (1-lam)*b and lam is in (0, 1)."""
+    from vivqa_tpu.ops.batch_mix import mixup
+    rng = jax.random.PRNGKey(3)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (4, 8, 8, 3))
+    mixed, perm, lam = jax.jit(lambda r, x: mixup(r, x, 0.4))(rng, imgs)
+    lam = float(lam)
+    assert 0.0 <= lam <= 1.0
+    want = lam * np.asarray(imgs) + (1 - lam) * np.asarray(imgs)[np.asarray(perm)]
+    np.testing.assert_allclose(np.asarray(mixed), want, atol=1e-6)
+    # alpha<=0 disables mixing (reference :251-254)
+    mixed0, _, lam0 = mixup(rng, imgs, 0.0)
+    assert float(lam0) == 1.0
+    np.testing.assert_allclose(np.asarray(mixed0), np.asarray(imgs))
+
+
+def test_cutmix_box_area_matches_lambda():
+    """Every pixel is either own or partner; the fraction of partner
+    pixels equals 1 - lam_adjusted (reference :341 re-adjustment)."""
+    from vivqa_tpu.ops.batch_mix import cutmix
+    imgs = jnp.broadcast_to(
+        jnp.arange(4, dtype=jnp.float32)[:, None, None, None], (4, 16, 16, 3))
+    found_box = False
+    for s in range(8):
+        mixed, perm, lam = jax.jit(lambda r, x: cutmix(r, x, 1.0))(
+            jax.random.PRNGKey(s), imgs)
+        m, own, partner = (np.asarray(mixed), np.asarray(imgs),
+                           np.asarray(imgs)[np.asarray(perm)])
+        assert np.all((m == partner) | (m == own))
+        # fraction of replaced pixels == 1 - lam (row 0's partner differs
+        # everywhere by construction, so the box is exactly visible)
+        replaced = np.mean(m[0] != own[0])
+        np.testing.assert_allclose(replaced, 1 - float(lam), atol=1e-6)
+        found_box = found_box or replaced > 0
+    assert found_box  # at least one seed produced a non-empty box
+
+
+def test_mixed_ce_equals_soft_target_ce():
+    """lam-weighted CE pair == CE against the explicit mixed soft target,
+    and mixed_soft_targets rows sum to 1."""
+    from vivqa_tpu.ops.batch_mix import (mixed_cross_entropy,
+                                         mixed_soft_targets)
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(rng, (6, 10))
+    a = jnp.array([0, 1, 2, 3, 4, 5])
+    b = jnp.array([5, 4, 3, 2, 1, 0])
+    lam = jnp.float32(0.3)
+    soft = mixed_soft_targets(a, b, lam, 10)
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, atol=1e-6)
+    want = -(soft * jax.nn.log_softmax(logits, -1)).sum(-1).mean()
+    got = mixed_cross_entropy(logits, a, b, lam)
+    np.testing.assert_allclose(float(got), float(want), atol=1e-5)
+
+
+def test_mix_batch_modes_and_unknown():
+    from vivqa_tpu.ops.batch_mix import mix_batch
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    for mode in ("mixup", "cutmix", "both"):
+        mixed, perm, lam = mix_batch(jax.random.PRNGKey(2), imgs, mode, 1.0)
+        assert mixed.shape == imgs.shape and perm.shape == (4,)
+        assert 0.0 <= float(lam) <= 1.0
+    with pytest.raises(ValueError):
+        mix_batch(jax.random.PRNGKey(2), imgs, "cutout", 1.0)

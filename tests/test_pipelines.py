@@ -99,6 +99,28 @@ def test_vqa_pipeline_train_then_evaluate(synth, tmp_path):
     assert "metrics" in summary2 and "vqa_accuracy" in summary2["metrics"]
 
 
+def test_vqa_pipeline_with_batch_mix(synth, tmp_path):
+    """mix_mode=cutmix trains end-to-end: device-side MixUp/CutMix is
+    applied inside the jitted step (reference augmentation.py:219-348)."""
+    cfg = VQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth),
+        model=ModelPipelineConfig(
+            model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                                 fusion=FusionConfig(fusion_type="concat",
+                                                     hidden_dim=32,
+                                                     num_heads=2,
+                                                     num_layers=1)),
+            mesh=MeshConfig(model_axis=1)),
+        training=TrainingPipelineConfig(
+            num_epochs=1, mix_mode="cutmix", mix_alpha=1.0,
+            optimizer=OptimizerConfig(learning_rate=5e-3),
+            checkpoint_dir=str(tmp_path / "ckm"), log_every=100),
+        output_dir=str(tmp_path / "outm"))
+    summary = VQAPipeline(cfg).run()
+    assert np.isfinite(summary["history"][0]["train_loss"])
+
+
 def test_generative_pipeline_train_and_inference(synth, tmp_path):
     cfg = GenerativeVQAPipelineConfig(
         mode="train",

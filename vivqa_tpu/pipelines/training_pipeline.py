@@ -44,6 +44,10 @@ class TrainingPipelineConfig(ConfigBase):
     scheduler: SchedulerConfig = dataclasses.field(
         default_factory=SchedulerConfig)
     label_smoothing: float = 0.0
+    # device-side batch-mix augmentation (reference augmentation.py:219-348
+    # MixUp/CutMix, re-designed as jitted in-step ops — ops/batch_mix.py)
+    mix_mode: str = "none"              # none | mixup | cutmix | both
+    mix_alpha: float = 0.4              # Beta(alpha, alpha) mixing ratio
     moe_aux_weight: float = 0.01
     strategy: str = "full"
     early_stopping_patience: int = 5
@@ -97,16 +101,30 @@ class TrainingPipeline:
             # wraps the loader (key presence is static at trace time)
             know = {k: batch[k] for k in ("knowledge_embeddings",
                                           "knowledge_mask") if k in batch}
-            out = apply_fn({"params": params}, batch["pixel_values"],
+            pixels, labels = batch["pixel_values"], batch["labels"]
+            if cfg.mix_mode != "none":
+                from vivqa_tpu.ops.batch_mix import mix_batch
+                rng, k_mix = jax.random.split(rng)
+                pixels, perm, lam = mix_batch(k_mix, pixels, cfg.mix_mode,
+                                              cfg.mix_alpha)
+            out = apply_fn({"params": params}, pixels,
                            batch["input_ids"], batch["attention_mask"],
                            expert_mask=mask, **know,
                            deterministic=False,
                            rngs={"dropout": rng, "router": rng})
-            ce = cross_entropy_loss(out["logits"], batch["labels"],
-                                    label_smoothing=cfg.label_smoothing)
+            if cfg.mix_mode != "none":
+                from vivqa_tpu.ops.batch_mix import mixed_cross_entropy
+                labels_b = labels[perm]
+                ce = mixed_cross_entropy(out["logits"], labels, labels_b,
+                                         lam, cfg.label_smoothing)
+                preds = jnp.argmax(out["logits"], -1)
+                acc = (lam * (preds == labels).mean()
+                       + (1 - lam) * (preds == labels_b).mean())
+            else:
+                ce = cross_entropy_loss(out["logits"], labels,
+                                        label_smoothing=cfg.label_smoothing)
+                acc = (jnp.argmax(out["logits"], -1) == labels).mean()
             total = ce + cfg.moe_aux_weight * out["aux_loss"]
-            acc = (jnp.argmax(out["logits"], -1) ==
-                   batch["labels"]).mean()
             return total, {"ce": ce, "aux_loss": out["aux_loss"],
                            "accuracy": acc}
         return loss_fn

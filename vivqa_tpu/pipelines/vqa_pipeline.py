@@ -183,6 +183,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", dest="training.num_epochs", type=int)
     p.add_argument("--lr", "--learning-rate",
                    dest="training.optimizer.learning_rate", type=float)
+    p.add_argument("--mix-mode", dest="training.mix_mode",
+                   choices=["none", "mixup", "cutmix", "both"])
+    p.add_argument("--mix-alpha", dest="training.mix_alpha", type=float)
     p.add_argument("--fusion", dest="model.model.fusion.fusion_type")
     p.add_argument("--visual-backbone", dest="model.model.visual.backbone")
     p.add_argument("--text-backbone", "--text-encoder",
