@@ -167,3 +167,65 @@ def test_save_and_load_data_split(tmp_path):
     assert back[0].question == samples[0].question
     ranged = load_data_split(tmp_path, "train", start=1, end=3)
     assert len(ranged) == 2
+
+
+def test_text_augmentation_semantics():
+    """Reference augmentation.py:350-473 parity: deletion keeps >=1 word,
+    swap preserves the word multiset, p=0 is identity."""
+    from vivqa_tpu.data import TextAugmentation, create_text_augmentation
+    text = "con mèo đang ngồi trên bàn gỗ"
+    ident = TextAugmentation(augmentation_probability=0.0, seed=0)
+    assert ident(text) == text
+    aug = create_text_augmentation(1.0, seed=0)
+    changed = False
+    for _ in range(50):
+        out = aug(text)
+        words, orig = out.split(), text.split()
+        assert 1 <= len(words) <= len(orig)
+        if len(words) == len(orig):          # swap: same multiset
+            assert sorted(words) == sorted(orig)
+        else:                                # deletion: subset
+            assert all(w in orig for w in words)
+        changed = changed or out != text
+    assert changed
+    # degenerate inputs pass through
+    assert aug("mèo") == "mèo"
+    assert aug("") == ""
+    # deletion never empties
+    only_del = TextAugmentation(1.0, enable_random_swap=False, seed=1)
+    assert all(len(only_del.random_deletion(["a", "b"], p=1.0)) >= 1
+               for _ in range(10))
+
+
+def test_dropout_scheduler_schedules():
+    """Warmup flat, linear endpoint, cosine midpoint, step() counter
+    (reference augmentation.py:475-562)."""
+    from vivqa_tpu.data import DropoutScheduler
+    s = DropoutScheduler(0.1, 0.3, total_steps=100, warmup_steps=20,
+                         schedule="linear")
+    assert s.get_dropout(0) == 0.1 and s.get_dropout(19) == 0.1
+    assert s.get_dropout(100) == pytest.approx(0.3)
+    assert s.get_dropout(60) == pytest.approx(0.2)
+    assert s.get_dropout(10_000) == pytest.approx(0.3)  # clamped
+    c = DropoutScheduler(0.0, 0.4, total_steps=100, warmup_steps=0,
+                         schedule="cosine")
+    assert c.get_dropout(50) == pytest.approx(0.2)      # cos midpoint
+    assert c.get_dropout(100) == pytest.approx(0.4)
+    assert s.step() == s.get_dropout(1) and s.current_step == 1
+    with pytest.raises(ValueError):
+        DropoutScheduler(schedule="step")
+
+
+def test_dropout_scheduler_apply_to_config():
+    """apply_to_config rewrites every nested `dropout` field and nothing
+    else; frozen configs stay frozen."""
+    from vivqa_tpu.data import DropoutScheduler
+    from vivqa_tpu.models.config import VQAModelConfig
+    cfg = VQAModelConfig()
+    new = DropoutScheduler.apply_to_config(cfg, 0.25)
+    for sub in (new.visual, new.text, new.fusion, new.head):
+        assert sub.dropout == 0.25
+    assert new.text.hidden_dim == cfg.text.hidden_dim
+    assert cfg.text.dropout == 0.1          # original untouched
+    # idempotent / no-change fast path returns the same object
+    assert DropoutScheduler.apply_to_config(new, 0.25) is new

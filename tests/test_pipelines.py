@@ -121,6 +121,32 @@ def test_vqa_pipeline_with_batch_mix(synth, tmp_path):
     assert np.isfinite(summary["history"][0]["train_loss"])
 
 
+def test_vqa_pipeline_text_aug_and_dropout_schedule(synth, tmp_path):
+    """text_augmentation (train split only) + scheduled dropout: the
+    rate change between epochs rebuilds the module and re-jits
+    (reference augmentation.py:350-473, :475-562)."""
+    cfg = VQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth).replace(text_augmentation=0.5),
+        model=ModelPipelineConfig(
+            model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                                 fusion=FusionConfig(fusion_type="concat",
+                                                     hidden_dim=32,
+                                                     num_heads=2,
+                                                     num_layers=1)),
+            mesh=MeshConfig(model_axis=1)),
+        training=TrainingPipelineConfig(
+            num_epochs=2, dropout_schedule="linear",
+            initial_dropout=0.0, final_dropout=0.2,
+            dropout_warmup_epochs=0,
+            optimizer=OptimizerConfig(learning_rate=5e-3),
+            checkpoint_dir=str(tmp_path / "ckd"), log_every=100),
+        output_dir=str(tmp_path / "outd"))
+    summary = VQAPipeline(cfg).run()
+    assert len(summary["history"]) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in summary["history"])
+
+
 def test_generative_pipeline_train_and_inference(synth, tmp_path):
     cfg = GenerativeVQAPipelineConfig(
         mode="train",

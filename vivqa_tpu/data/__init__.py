@@ -1,7 +1,10 @@
 from vivqa_tpu.data.actions import (build_image_index, data_statistics,
                                     load_raw_data, parse_answers, split_data,
                                     validate_samples)
-from vivqa_tpu.data.augmentation import CLIP_MEAN, CLIP_STD, ImageAugmentation
+from vivqa_tpu.data.augmentation import (CLIP_MEAN, CLIP_STD,
+                                         DropoutScheduler, ImageAugmentation,
+                                         TextAugmentation,
+                                         create_text_augmentation)
 from vivqa_tpu.data.dataset import (IGNORE_INDEX, GenerativeVQADataset,
                                     VQADataset, generative_collate,
                                     vqa_collate)
@@ -17,6 +20,7 @@ __all__ = [
     "OneSample", "load_raw_data", "split_data", "validate_samples",
     "data_statistics", "parse_answers", "build_image_index",
     "ImageAugmentation", "CLIP_MEAN", "CLIP_STD",
+    "TextAugmentation", "create_text_augmentation", "DropoutScheduler",
     "VQADataset", "GenerativeVQADataset", "vqa_collate", "generative_collate",
     "IGNORE_INDEX", "BatchLoader", "device_prefetch",
     "WhitespaceTokenizer", "PretrainedTokenizer", "create_tokenizer",

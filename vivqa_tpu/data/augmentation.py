@@ -1,10 +1,18 @@
-"""Image preprocessing & augmentation (host-side, PIL + numpy).
+"""Image & text preprocessing / augmentation (host-side, PIL + numpy).
 
-Counterpart of src/data/augmentation.py:21-170 in the reference:
-train/eval modes, strength presets light/medium/strong (flip, color
-jitter, grayscale, rotation, affine translate), random erasing.
-Output is a float32 NHWC array normalized with CLIP statistics
-(reference GenerativeVQADataset default, generative_dataset.py:113-121).
+Counterpart of src/data/augmentation.py in the reference:
+- :21-170 image train/eval modes, strength presets light/medium/strong
+  (flip, color jitter, grayscale, rotation, affine translate), random
+  erasing. Output is a float32 NHWC array normalized with CLIP
+  statistics (reference GenerativeVQADataset default,
+  generative_dataset.py:113-121).
+- :350-473 TextAugmentation (random deletion / random swap).
+- :475-562 DropoutScheduler (warmup + linear/cosine ramp); the torch
+  ``apply_to_model`` (mutating nn.Dropout.p in place) becomes
+  ``apply_to_config`` here — flax rates live in the frozen model config,
+  so the trainer rebuilds the module and lets jit retrace.
+- MixUp/CutMix (:219-348) are NOT here: they are device-side jitted
+  batch ops in vivqa_tpu/ops/batch_mix.py.
 """
 
 from __future__ import annotations
@@ -125,3 +133,126 @@ class ImageAugmentation:
             x = self.rng.randint(0, s - ew)
             arr[y:y + eh, x:x + ew] = self.rng.random()
         return (arr - self.mean) / self.std
+
+
+class TextAugmentation:
+    """Vietnamese question augmentation (reference augmentation.py:350-473).
+
+    Whitespace-token level, which is the right granularity for Vietnamese
+    (syllable-per-token): random deletion (keep >= 1 word) and random
+    swap. The reference accepts an ``enable_synonym_replacement`` flag
+    but never registers a synonym function in ``__call__`` (:440-452);
+    the flag is kept for API parity with identical (no-op) behavior.
+    Seeded locally — no dependence on the global ``random`` state.
+    """
+
+    def __init__(self, augmentation_probability: float = 0.3,
+                 enable_synonym_replacement: bool = True,
+                 enable_random_deletion: bool = True,
+                 enable_random_swap: bool = True,
+                 seed: int | None = None):
+        self.augmentation_probability = augmentation_probability
+        self.enable_synonym_replacement = enable_synonym_replacement
+        self.enable_random_deletion = enable_random_deletion
+        self.enable_random_swap = enable_random_swap
+        self.rng = random.Random(seed)
+
+    def random_deletion(self, words: list, p: float = 0.1) -> list:
+        """Drop each word with prob p; never return empty (:383-410)."""
+        if len(words) <= 1:
+            return words
+        kept = [w for w in words if self.rng.random() > p]
+        return kept if kept else [self.rng.choice(words)]
+
+    def random_swap(self, words: list, n: int = 1) -> list:
+        """Swap n random position pairs (:412-435)."""
+        if len(words) < 2:
+            return words
+        out = list(words)
+        for _ in range(n):
+            i = self.rng.randrange(len(out))
+            j = self.rng.randrange(len(out))
+            out[i], out[j] = out[j], out[i]
+        return out
+
+    def __call__(self, text: str) -> str:
+        if self.rng.random() > self.augmentation_probability:
+            return text
+        words = text.split()
+        if len(words) <= 1:
+            return text
+        fns = []
+        if self.enable_random_deletion:
+            fns.append(lambda w: self.random_deletion(w, p=0.1))
+        if self.enable_random_swap:
+            fns.append(lambda w: self.random_swap(w, n=1))
+        if not fns:
+            return text
+        return " ".join(self.rng.choice(fns)(words))
+
+
+def create_text_augmentation(augmentation_probability: float = 0.3,
+                             **kwargs) -> TextAugmentation:
+    """Factory (reference augmentation.py:593)."""
+    return TextAugmentation(augmentation_probability, **kwargs)
+
+
+class DropoutScheduler:
+    """Scheduled dropout rate over training (reference :475-562): flat
+    warmup at ``initial_dropout`` then a linear or cosine ramp to
+    ``final_dropout`` by ``total_steps``. "Step" granularity is the
+    caller's choice — the trainer drives it per *epoch* because each
+    rate change re-jits the train step (rates are static under XLA)."""
+
+    def __init__(self, initial_dropout: float = 0.1,
+                 final_dropout: float = 0.3, total_steps: int = 10000,
+                 warmup_steps: int = 1000, schedule: str = "linear"):
+        if schedule not in ("linear", "cosine"):
+            raise ValueError(f"unknown schedule '{schedule}' "
+                             "(choices: linear, cosine)")
+        self.initial_dropout = initial_dropout
+        self.final_dropout = final_dropout
+        self.total_steps = total_steps
+        self.warmup_steps = warmup_steps
+        self.schedule = schedule
+        self.current_step = 0
+
+    def get_dropout(self, step: int | None = None) -> float:
+        if step is None:
+            step = self.current_step
+        if step < self.warmup_steps:
+            return self.initial_dropout
+        progress = min(1.0, (step - self.warmup_steps) /
+                       max(1, self.total_steps - self.warmup_steps))
+        span = self.final_dropout - self.initial_dropout
+        if self.schedule == "cosine":
+            import math
+            return self.initial_dropout + 0.5 * span * (
+                1 - math.cos(math.pi * progress))
+        return self.initial_dropout + progress * span
+
+    def step(self) -> float:
+        self.current_step += 1
+        return self.get_dropout()
+
+    @staticmethod
+    def apply_to_config(config, rate: float):
+        """Return a copy of a (nested, frozen) model config with every
+        ``dropout`` field set to ``rate`` — the flax counterpart of the
+        reference's mutate-every-nn.Dropout ``apply_to_model`` (:544-562).
+        The trainer rebuilds the module from the new config; jit sees a
+        new static apply_fn and retraces."""
+        import dataclasses as _dc
+        if not _dc.is_dataclass(config):
+            return config
+        changes = {}
+        for f in _dc.fields(config):
+            v = getattr(config, f.name)
+            if f.name == "dropout" and isinstance(v, float):
+                if v != float(rate):
+                    changes[f.name] = float(rate)
+            elif _dc.is_dataclass(v):
+                nv = DropoutScheduler.apply_to_config(v, rate)
+                if nv is not v:
+                    changes[f.name] = nv
+        return _dc.replace(config, **changes) if changes else config

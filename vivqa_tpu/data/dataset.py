@@ -31,13 +31,17 @@ class VQADataset:
     def __init__(self, samples: Sequence[OneSample], tokenizer,
                  answer2id: Dict[str, int], transform: ImageAugmentation,
                  max_question_length: int = 64,
-                 answer_selection: str = "majority"):
+                 answer_selection: str = "majority",
+                 text_transform=None):
         self.samples = list(samples)
         self.tokenizer = tokenizer
         self.answer2id = answer2id
         self.transform = transform
         self.max_question_length = max_question_length
         self.answer_selection = answer_selection
+        # train-split-only TextAugmentation (reference augmentation.py:
+        # 350-473); None = identity
+        self.text_transform = text_transform
 
     def __len__(self):
         return len(self.samples)
@@ -45,8 +49,9 @@ class VQADataset:
     def _meta(self, idx: int) -> Dict[str, np.ndarray]:
         """Everything except the image tensor."""
         s = self.samples[idx]
-        enc = self.tokenizer.encode_batch([s.question],
-                                          self.max_question_length)
+        q = self.text_transform(s.question) if self.text_transform \
+            else s.question
+        enc = self.tokenizer.encode_batch([q], self.max_question_length)
         label = self.answer2id.get(majority_answer(s.answers), 0)
         return {
             "input_ids": enc["input_ids"][0],
@@ -99,7 +104,7 @@ class GenerativeVQADataset:
                  max_question_length: int = 64,
                  max_answer_length: int = 64,
                  answer_selection: str = "majority",
-                 seed: int = 0):
+                 seed: int = 0, text_transform=None):
         self.samples = list(samples)
         self.tokenizer = tokenizer
         self.transform = transform
@@ -108,6 +113,7 @@ class GenerativeVQADataset:
         assert answer_selection in ("majority", "random", "first")
         self.answer_selection = answer_selection
         self._rng = np.random.RandomState(seed)
+        self.text_transform = text_transform
 
     def __len__(self):
         return len(self.samples)
@@ -122,7 +128,9 @@ class GenerativeVQADataset:
     def _meta(self, idx: int) -> Dict[str, np.ndarray]:
         s = self.samples[idx]
         tok = self.tokenizer
-        q = tok.encode_batch([s.question], self.max_question_length)
+        q_text = self.text_transform(s.question) if self.text_transform \
+            else s.question
+        q = tok.encode_batch([q_text], self.max_question_length)
         answer = self._pick_answer(s.answers)
         # raw answer ids without special tokens
         ans_ids = [i for i in tok.encode(answer, self.max_answer_length)

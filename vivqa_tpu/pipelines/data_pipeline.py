@@ -17,10 +17,10 @@ import numpy as np
 from vivqa_tpu.config.base import ConfigBase
 from vivqa_tpu.data import (BatchLoader, GenerativeVQADataset,
                             ImageAugmentation, VQADataset,
-                            build_answer_vocab, create_tokenizer,
-                            data_statistics, generative_collate,
-                            load_raw_data, split_data, validate_samples,
-                            vqa_collate)
+                            build_answer_vocab, create_text_augmentation,
+                            create_tokenizer, data_statistics,
+                            generative_collate, load_raw_data, split_data,
+                            validate_samples, vqa_collate)
 from vivqa_tpu.utils import get_pipeline_logger
 
 
@@ -38,6 +38,9 @@ class DataPipelineConfig(ConfigBase):
     min_token_freq: int = 1
     tokenizer_name: str = ""          # HF name; empty -> whitespace
     augmentation_strength: str = "medium"
+    # train-split TextAugmentation probability; 0 = off (reference
+    # augmentation.py:350-473, create_text_augmentation :593)
+    text_augmentation: float = 0.0
     seed: int = 42
     max_samples: int = 0              # 0 = all
     generative: bool = False
@@ -121,24 +124,31 @@ class DataPipeline:
         eval_tf = ImageAugmentation(cfg.image_size, "eval")
         probe_img = eval_tf(train[0].image_path)
         assert probe_img.shape == (cfg.image_size, cfg.image_size, 3)
-        log.success("step 7/9 transforms validated")
+        text_tf = None
+        if cfg.text_augmentation > 0:
+            text_tf = create_text_augmentation(cfg.text_augmentation,
+                                               seed=cfg.seed)
+        log.success("step 7/9 transforms validated"
+                    + (f" (text aug p={cfg.text_augmentation})"
+                       if text_tf else ""))
 
-        # 8. datasets + loaders
+        # 8. datasets + loaders (text augmentation on the train split only)
         if cfg.generative:
-            mk = lambda s, tf, shuf: BatchLoader(
+            mk = lambda s, tf, shuf, ttf=None: BatchLoader(
                 GenerativeVQADataset(s, tokenizer, tf,
                                      cfg.max_question_length,
                                      cfg.max_answer_length,
-                                     cfg.answer_selection),
+                                     cfg.answer_selection,
+                                     text_transform=ttf),
                 cfg.batch_size, generative_collate, shuffle=shuf,
                 seed=cfg.seed, drop_last=shuf)
         else:
-            mk = lambda s, tf, shuf: BatchLoader(
+            mk = lambda s, tf, shuf, ttf=None: BatchLoader(
                 VQADataset(s, tokenizer, answer2id, tf,
-                           cfg.max_question_length),
+                           cfg.max_question_length, text_transform=ttf),
                 cfg.batch_size, vqa_collate, shuffle=shuf, seed=cfg.seed,
                 drop_last=shuf)
-        train_loader = mk(train, train_tf, True)
+        train_loader = mk(train, train_tf, True, text_tf)
         val_loader = mk(val or train[:1], eval_tf, False)
         test_loader = mk(test or val or train[:1], eval_tf, False)
         log.success(f"step 8/9 loaders: {len(train_loader)} train batches")

@@ -48,6 +48,14 @@ class TrainingPipelineConfig(ConfigBase):
     # MixUp/CutMix, re-designed as jitted in-step ops — ops/batch_mix.py)
     mix_mode: str = "none"              # none | mixup | cutmix | both
     mix_alpha: float = 0.4              # Beta(alpha, alpha) mixing ratio
+    # scheduled dropout (reference augmentation.py:475-562 DropoutScheduler);
+    # "" = off. Epoch-granular: each rate change rebuilds the module from
+    # a rate-substituted config and lets jit retrace (rates are static
+    # under XLA) — same stage-re-jit pattern as gradual_unfreeze.
+    dropout_schedule: str = ""          # "" | linear | cosine
+    initial_dropout: float = 0.1
+    final_dropout: float = 0.3
+    dropout_warmup_epochs: int = 0
     moe_aux_weight: float = 0.01
     strategy: str = "full"
     early_stopping_patience: int = 5
@@ -160,7 +168,33 @@ class TrainingPipeline:
         history = []
         timer = StepTimer()
 
+        drop_sched = None
+        if cfg.dropout_schedule:
+            from vivqa_tpu.data.augmentation import DropoutScheduler
+            drop_sched = DropoutScheduler(
+                cfg.initial_dropout, cfg.final_dropout,
+                total_steps=cfg.num_epochs,
+                warmup_steps=cfg.dropout_warmup_epochs,
+                schedule=cfg.dropout_schedule)
+        cur_rate = None
+
         for epoch in range(cfg.num_epochs):
+            if drop_sched is not None:
+                rate = drop_sched.get_dropout(epoch)
+                if rate != cur_rate:
+                    # rebuild the module with every dropout field set to
+                    # the scheduled rate; apply_fn rides the state as a
+                    # static field, so the steps are re-jitted against
+                    # the updated state (params/opt_state untouched —
+                    # dropout is parameterless)
+                    model = type(model)(config=DropoutScheduler.
+                                        apply_to_config(model.config, rate))
+                    state = state.replace(apply_fn=model.apply)
+                    jit_train, jit_eval, _, batch_sh = \
+                        step_builder.compile(state)
+                    log.info("dropout schedule: rate=%.3f at epoch %d "
+                             "(re-jit)", rate, epoch)
+                    cur_rate = rate
             # -- train epoch -----------------------------------------------
             losses = []
             timer.reset()

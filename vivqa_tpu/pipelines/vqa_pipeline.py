@@ -186,6 +186,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mix-mode", dest="training.mix_mode",
                    choices=["none", "mixup", "cutmix", "both"])
     p.add_argument("--mix-alpha", dest="training.mix_alpha", type=float)
+    p.add_argument("--text-augmentation", dest="data.text_augmentation",
+                   type=float, help="train-split text aug probability")
+    p.add_argument("--dropout-schedule", dest="training.dropout_schedule",
+                   choices=["", "linear", "cosine"])
+    p.add_argument("--final-dropout", dest="training.final_dropout",
+                   type=float)
     p.add_argument("--fusion", dest="model.model.fusion.fusion_type")
     p.add_argument("--visual-backbone", dest="model.model.visual.backbone")
     p.add_argument("--text-backbone", "--text-encoder",
