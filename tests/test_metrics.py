@@ -243,6 +243,43 @@ def test_wups_taxonomy_graded_similarity():
     assert w9.compute().value < s  # 0.9-threshold penalizes
 
 
+def test_taxonomy_coverage_of_answer_vocab():
+    """VERDICT r2 #9: the WUPS/METEOR taxonomy's coverage of the answer
+    vocabulary is measured and guarded, so the documented WordNet
+    divergence has a quantified bound (recorded in PARITY.md §2.7)."""
+    from vivqa_tpu.metrics.taxonomy import taxonomy_coverage
+    # the synthetic learnable corpus (data/synthetic.py) answer vocab
+    colors = ["đỏ", "xanh", "vàng", "trắng", "đen"]
+    counts = ["một", "hai", "ba", "bốn", "năm"]
+    objects = ["con mèo", "con chó", "quả táo", "cái bàn", "chiếc xe"]
+    synth = [f"màu {c}" for c in colors] + counts + objects + ["phải"]
+    r = taxonomy_coverage(synth)
+    assert r["any_word"] == 1.0
+    assert r["phrase"] >= 0.9
+    # ViVQA-style top answers (colors/counts/objects/yes-no/actions/
+    # locations/people — the reference dataset's dominant answer types)
+    vivqa = [
+        "đỏ", "xanh", "vàng", "trắng", "đen", "nâu", "hồng", "tím",
+        "cam", "xám", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy",
+        "tám", "chín", "mười", "con mèo", "con chó", "con chim",
+        "con ngựa", "con bò", "con voi", "quả táo", "quả chuối",
+        "quả cam", "cái bàn", "cái ghế", "chiếc xe", "xe đạp",
+        "máy bay", "điện thoại", "máy tính", "phải", "không", "có",
+        "đúng", "sai", "ngồi", "đứng", "chạy", "ăn", "uống", "ngủ",
+        "chơi", "trên bàn", "trong phòng", "ngoài trời", "bãi biển",
+        "công viên", "nhà bếp", "người đàn ông", "người phụ nữ",
+        "đứa trẻ", "cậu bé", "cô gái",
+    ]
+    r2 = taxonomy_coverage(vivqa)
+    assert r2["any_word"] == 1.0, r2["missing"]
+    assert r2["phrase"] >= 0.9, r2["missing"]
+    # yes/no must be graded correctly: siblings, below the 0.9 threshold
+    from vivqa_tpu.metrics.taxonomy import taxonomy_wup
+    assert taxonomy_wup("phải", "sai") is not None
+    assert taxonomy_wup("phải", "sai") < 0.9
+    assert taxonomy_wup("phải", "đúng") == 1.0
+
+
 def test_meteor_stem_and_synonym_stages():
     from vivqa_tpu.metrics.nlg_metrics import meteor_score
     # stem stage: 'running' vs 'run'

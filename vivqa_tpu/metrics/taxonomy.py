@@ -85,6 +85,10 @@ _PARENTS: Dict[str, Optional[str]] = {
     "big": "size", "small": "size", "tall": "size", "short": "size",
     "long": "size",
     "round": "shape", "square": "shape", "triangle": "shape",
+    # yes/no answers ("phải"/"đúng" vs "sai"): siblings under polarity,
+    # wup(yes, no) = 0.75 < the 0.9 WUPS threshold, so they still score
+    # near-zero against each other while matching their own aliases
+    "polarity": "attribute", "yes": "polarity", "no": "polarity",
     "wood": "material", "metal": "material", "plastic": "material",
     "glass": "material", "paper": "material", "cloth": "material",
     # quantities
@@ -123,6 +127,9 @@ _ALIASES: Dict[str, str] = {
     # people
     "người": "person", "đàn ông": "man", "phụ nữ": "woman",
     "con trai": "boy", "con gái": "girl", "trẻ em": "child", "em bé": "baby",
+    "đứa trẻ": "child", "đứa bé": "baby", "cô gái": "girl",
+    "cậu bé": "boy", "cô bé": "girl", "chàng trai": "man",
+    "người đàn ông": "man", "người phụ nữ": "woman",
     # plants
     "cây": "tree", "hoa": "flower", "cỏ": "grass", "lúa": "rice",
     "tre": "bamboo", "sen": "lotus",
@@ -160,6 +167,8 @@ _ALIASES: Dict[str, str] = {
     "phòng bếp": "kitchen", "nhà bếp": "kitchen",
     "phòng ngủ": "bedroom", "phòng tắm": "bathroom",
     "phòng khách": "living_room", "lớp học": "classroom",
+    "phòng": "room", "trong phòng": "room", "trong nhà": "house",
+    "ngoài trời": "outdoor",
     # colors
     "đỏ": "red", "màu đỏ": "red", "xanh": "blue",
     "xanh dương": "blue", "xanh da trời": "blue",
@@ -180,6 +189,14 @@ _ALIASES: Dict[str, str] = {
     "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
     "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
     "10": "ten",
+    # yes/no
+    "phải": "yes", "đúng": "yes", "vâng": "yes", "có": "yes",
+    "sai": "no", "không có": "no",
+    # classifier phrases (Vietnamese measure words riding the noun)
+    "quả táo": "apple", "cái bàn": "table", "cái ghế": "chair",
+    "chiếc xe": "car", "xe": "vehicle", "con ngựa": "horse",
+    "quả chuối": "banana", "quả cam": "orange", "con voi": "elephant",
+    "con khỉ": "monkey", "con rắn": "snake", "con thỏ": "rabbit",
     # actions
     "ngồi": "sitting", "đứng": "standing", "chạy": "running",
     "đi bộ": "walking", "ăn": "eating", "uống": "drinking",
@@ -233,3 +250,39 @@ def taxonomy_synonyms(a: str, b: str) -> bool:
     stage uses this."""
     na, nb = _node(a), _node(b)
     return na is not None and na == nb
+
+
+def taxonomy_coverage(answers) -> Dict[str, object]:
+    """Measured coverage of an answer vocabulary (VERDICT r2 #9): for
+    each answer string, is graded Wu-Palmer similarity available — i.e.
+    does the whole phrase or a constituent word map to a taxonomy node?
+
+    Returns {"phrase": frac, "any_word": frac, "all_words": frac,
+    "total": N, "missing": [...]} where
+      - phrase:   whole normalized string has a node (strongest — WUPS
+                  on single-word answers, METEOR synonym stage)
+      - any_word: >= 1 token has a node (WUPS gets *some* graded credit)
+      - all_words: every token has a node (fully graded WUPS)
+    """
+    from vivqa_tpu.metrics.vqa_metrics import normalize_answer
+    seen = []
+    for a in answers:
+        n = normalize_answer(str(a))
+        if n and n not in seen:
+            seen.append(n)
+    phrase = any_w = all_w = 0
+    missing = []
+    for a in seen:
+        toks = a.split()
+        has = [(_node(t) is not None) for t in toks]
+        p = _node(a) is not None
+        phrase += p
+        any_hit = p or any(has)
+        any_w += any_hit
+        all_w += p or (bool(has) and all(has))
+        if not any_hit:
+            missing.append(a)
+    total = max(len(seen), 1)
+    return {"phrase": phrase / total, "any_word": any_w / total,
+            "all_words": all_w / total, "total": len(seen),
+            "missing": missing}
