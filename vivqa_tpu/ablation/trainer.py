@@ -151,7 +151,8 @@ class AblationTrainer:
             import jax
             import jax.numpy as jnp
             batch = next(iter(self.data.val_loader))
-            params = jax.device_get(out.state.params)
+            from vivqa_tpu.train.state import settled_host_read
+            params = settled_host_read(out.state.params)
             m = jnp.asarray(mask) if mask else None
             if self.config.model_type == "generative":
                 res = model.apply({"params": params},

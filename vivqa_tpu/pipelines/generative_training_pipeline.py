@@ -30,7 +30,7 @@ from vivqa_tpu.pipelines.common import EarlyStopping, StepTimer
 from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
                              TrainState, create_optimizer,
                              cross_entropy_loss, make_train_step, perplexity,
-                             place_state)
+                             place_state, settled_params_view)
 from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -155,7 +155,12 @@ class GenerativeTrainingPipeline:
             losses = [float(x) for x in losses]
             train_loss = float(np.mean(losses)) if losses else 0.0
 
-            val = self._validate(state, gen_fn, val_loader, tokenizer,
+            # the decode executable must NOT read the donated train-state
+            # chain directly (unstable on the axon runtime — see
+            # settled_params_view); validation and checkpointing both use
+            # the verified snapshot
+            p_view, p_host = settled_params_view(state.params)
+            val = self._validate(p_view, gen_fn, val_loader, tokenizer,
                                  batch_sh)
             val.update(train_loss=train_loss, epoch=epoch,
                        perplexity=float(perplexity(jnp.asarray(train_loss))),
@@ -166,7 +171,7 @@ class GenerativeTrainingPipeline:
             metric = val.get(cfg.metric_for_best, 0.0)
             if stopper.update(metric):
                 ckpt.save(int(state.step),
-                          {"params": jax.device_get(state.params)},
+                          {"params": p_host},
                           metadata={"epoch": epoch,
                                     "config": mcfg.to_dict()},
                           metrics={cfg.metric_for_best: metric})
@@ -181,7 +186,7 @@ class GenerativeTrainingPipeline:
         return GenerativeTrainingOutput(state, history,
                                         stopper.best or 0.0, final)
 
-    def _validate(self, state, gen_fn, val_loader, tokenizer,
+    def _validate(self, params, gen_fn, val_loader, tokenizer,
                   batch_sh) -> Dict[str, float]:
         cfg = self.config
         bleu, meteor, rouge = BLEUScore(), METEORScore(), ROUGEScore()
@@ -193,7 +198,7 @@ class GenerativeTrainingPipeline:
             n += 1
             know = {k: batch[k] for k in ("knowledge_embeddings",
                                           "knowledge_mask") if k in batch}
-            seqs, _ = gen_fn(state.params, batch["pixel_values"],
+            seqs, _ = gen_fn(params, batch["pixel_values"],
                              batch["question_ids"], batch["question_mask"],
                              **know)
             nv = batch.get("_num_valid", len(seqs))

@@ -171,7 +171,7 @@ class GenerativeVQAPipeline:
                 from vivqa_tpu.parallel import batch_sharding
                 gen_fn = jax.jit(build_generate_fn(model, self._decode_cfg(model)))
                 metrics = tp._validate(
-                    _FakeState(params), gen_fn, data_out.test_loader,
+                    params, gen_fn, data_out.test_loader,
                     data_out.tokenizer, batch_sharding(mesh))
                 summary["metrics"] = metrics
                 log.log_metrics(metrics, prefix="test/")
@@ -255,11 +255,6 @@ class GenerativeVQAPipeline:
                                   jnp.asarray(q["attention_mask"]))
             print(f"answer: {tok.decode(np.asarray(seqs)[0])} "
                   f"(score {float(scores[0]):.2f})")
-
-
-@dataclasses.dataclass
-class _FakeState:
-    params: object
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -31,7 +31,8 @@ from vivqa_tpu.pipelines.common import EarlyStopping, StepTimer
 from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
                              TrainState, create_optimizer,
                              cross_entropy_loss, make_train_step,
-                             place_state, trainable_mask)
+                             place_state, settled_params_view,
+                             trainable_mask)
 from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -216,8 +217,13 @@ class TrainingPipeline:
             train_loss = float(np.mean(losses)) if losses else 0.0
 
             # -- validate epoch ---------------------------------------------
-            val = self._validate(state, jit_eval, val_loader, id2answer,
-                                 batch_sh)
+            # jit_eval is a DIFFERENT executable than the donated train
+            # step: reading the live state chain is unstable on the axon
+            # runtime (see settled_params_view) — validate and checkpoint
+            # from the verified snapshot
+            p_view, p_host = settled_params_view(state.params)
+            val = self._validate(state.replace(params=p_view), jit_eval,
+                                 val_loader, id2answer, batch_sh)
             val["train_loss"] = train_loss
             val["epoch"] = epoch
             val["qa_pairs_per_sec"] = timer.items_per_sec
@@ -229,7 +235,7 @@ class TrainingPipeline:
             improved = stopper.update(metric)
             if improved:
                 ckpt.save(int(state.step),
-                          {"params": jax.device_get(state.params)},
+                          {"params": p_host},
                           metadata={"num_answers": len(id2answer),
                                     "vocabulary": {str(k): v for k, v
                                                    in id2answer.items()},

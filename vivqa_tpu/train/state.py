@@ -20,6 +20,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
@@ -127,6 +128,48 @@ class ShardedStep:
                 in_shardings=(state_shardings, batch_sh),
                 out_shardings=replicated(self.mesh))
         return jit_train, jit_eval, state_shardings, batch_sh
+
+
+def settled_host_read(tree, max_tries: int = 5):
+    """`device_get` that is safe on an in-place-DONATED buffer chain.
+
+    On the axon TPU runtime, reading a buffer that has been repeatedly
+    donated in place by a train step — from ANY other consumer
+    (`device_get`, `jnp.copy`, a jitted eval/decode function) — returns
+    UNSTABLE garbage for the first access(es) after the last step, and
+    only settles after repeated access. `block_until_ready` does NOT
+    help (measured: first in-training validation decode returned
+    different sequences on every execution for identical inputs, while
+    an immediate re-run was correct — see CLAUDE.md gotcha).
+
+    Defense: read to host repeatedly until two consecutive reads are
+    bit-identical, then trust the value. Costs one extra host transfer
+    in the common case; correctness of every in-training validation and
+    checkpoint depends on it.
+    """
+    jax.block_until_ready(tree)
+    prev = jax.device_get(tree)
+    for _ in range(max_tries):
+        cur = jax.device_get(tree)
+        if all(np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(prev), jax.tree.leaves(cur))):
+            return cur
+        prev = cur
+    import warnings
+    warnings.warn("settled_host_read: reads did not converge after "
+                  f"{max_tries} tries; using the last read")
+    return cur
+
+
+def settled_params_view(params, max_tries: int = 5):
+    """Device-resident, donation-safe snapshot of live train-state
+    params (verified via settled_host_read, re-uploaded with the same
+    shardings). Use this for anything that CONSUMES params outside the
+    donated train-step chain: in-training validation, decode, metric
+    eval."""
+    host = settled_host_read(params, max_tries)
+    return jax.device_put(
+        host, jax.tree.map(lambda x: x.sharding, params)), host
 
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:

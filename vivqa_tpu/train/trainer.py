@@ -30,7 +30,8 @@ from vivqa_tpu.train.losses import cross_entropy_loss
 from vivqa_tpu.train.optimizers import (OptimizerConfig, SchedulerConfig,
                                         create_optimizer)
 from vivqa_tpu.train.state import (ShardedStep, TrainState, make_eval_step,
-                                   make_train_step, place_state)
+                                   make_train_step, place_state,
+                                   settled_host_read, settled_params_view)
 from vivqa_tpu.train.strategies import trainable_mask
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -172,9 +173,9 @@ class VQATrainer:
         """Full resumable train state — params AND opt_state (Adam
         moments, Lookahead slow weights), step (so the LR schedule and
         Orbax step numbering continue where they left off) and rng."""
-        return jax.device_get({"params": state.params,
-                               "opt_state": state.opt_state,
-                               "step": state.step, "rng": state.rng})
+        return settled_host_read({"params": state.params,
+                                  "opt_state": state.opt_state,
+                                  "step": state.step, "rng": state.rng})
 
     def _restore_full(self, ckpt, state):
         """Restore the full train state without letting one mismatched
@@ -292,7 +293,7 @@ class VQATrainer:
         if self.rm is not None:
             self.rm.start_training(cfg.num_epochs, len(train_loader))
             self.rm.register_model(
-                "trainer_state", lambda: jax.device_get(state.params))
+                "trainer_state", lambda: settled_host_read(state.params))
 
         try:
             for epoch in range(start_epoch, cfg.num_epochs):
@@ -303,7 +304,7 @@ class VQATrainer:
                 stage = self._unfreeze_stage(epoch)
                 if stage != current_stage:
                     current_stage = stage
-                    self._params0 = jax.device_get(state.params)
+                    self._params0 = settled_host_read(state.params)
                     state = self._build_state(len(train_loader), epoch)
                     jit_train, jit_eval, state_sh, batch_sh = \
                         builder.compile(state)
@@ -346,8 +347,12 @@ class VQATrainer:
                     if losses else 0.0,
                     "qa_pairs_per_sec": timer.items_per_sec}
                 if val_loader is not None:
+                    # verified snapshot: jit_eval must not read the live
+                    # donated chain (see settled_params_view)
+                    p_view, _ = settled_params_view(state.params)
                     epoch_metrics.update(self.evaluate(
-                        state, jit_eval, val_loader, batch_sh))
+                        state.replace(params=p_view), jit_eval,
+                        val_loader, batch_sh))
                 history.append({"epoch": epoch, **epoch_metrics})
                 self._log_epoch(epoch, epoch_metrics)
                 if self.rm is not None:
