@@ -110,10 +110,47 @@ def main():
     # (see vivqa_tpu/utils/profiling.py for why naive timing lies
     # through remote-dispatch tunnels).
     _note("compiling + timing train step...")
-    from vivqa_tpu.utils.profiling import time_train_steps
+    from vivqa_tpu.utils.profiling import (peak_tflops, time_train_steps,
+                                           train_step_flops)
     per_step = time_train_steps(make_train_step(loss_fn), state, batch,
                                 steps=20)
     qps_per_chip = B / per_step / n_chips
+
+    # MFU: model FLOPs per step / peak bf16 FLOPs (VERDICT r2 #4 — "is it
+    # fast" as a fraction of the chip, not just of our own round-1
+    # number). Default: analytic matmul count for THIS flagship config
+    # (XLA cost analysis would be exact but costs another server-side
+    # compile, which intermittently hangs the dev tunnel past the
+    # 10-minute budget — opt in with BENCH_XLA_COST=1).
+    def tower_macs(tokens, d, layers):
+        # per token-layer: QKV+O 4d^2 + attention scores/values 2*T*d
+        # + MLP(4x) 8d^2 MACs
+        return tokens * layers * (12 * d * d + 2 * tokens * d)
+
+    L_v = (cfg.visual.image_size // cfg.visual.patch_size) ** 2 + 1
+    L_t = cfg.text.max_length
+    d_f = cfg.fusion.hidden_dim
+    macs = (tower_macs(L_v, cfg.visual.hidden_dim, cfg.visual.num_layers)
+            + L_v * 3 * cfg.visual.patch_size ** 2 * cfg.visual.hidden_dim
+            + tower_macs(L_t, cfg.text.hidden_dim, cfg.text.num_layers)
+            # MCAN: text SA stream + visual SA+guided-attention stream
+            + tower_macs(L_t, d_f, cfg.fusion.num_layers)
+            + tower_macs(L_v, d_f, cfg.fusion.num_layers)
+            + cfg.fusion.num_layers * L_v * (4 * d_f * d_f + 2 * L_t * d_f)
+            # dense MoE: every expert computes every fused token
+            + (L_v + L_t) * cfg.moe.num_experts
+            * 2 * d_f * cfg.moe.expert_hidden_dim
+            + d_f * cfg.num_answers)
+    # fwd 2*MACs; backward ~2x forward => train step ~6*MACs (optimizer
+    # and elementwise are noise at these shapes)
+    flops = 6.0 * macs * B
+    if os.environ.get("BENCH_XLA_COST"):
+        _note("XLA cost analysis (one extra compile)...")
+        flops = train_step_flops(make_train_step(loss_fn), state,
+                                 batch) or flops
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 0)) or peak_tflops()
+    step_tflops = flops / 1e12
+    mfu = (flops / per_step / (peak * 1e12) / n_chips) if peak else None
 
     vs_baseline = 1.0
     if BASELINE_FILE.exists():
@@ -126,12 +163,19 @@ def main():
              "value": qps_per_chip,
              "recorded": "round1"}))
 
-    print(json.dumps({
+    out = {
         "metric": "train_qa_pairs_per_sec_per_chip",
         "value": round(qps_per_chip, 2),
         "unit": "QA-pairs/sec/chip",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+        "step_ms": round(per_step * 1e3, 2),
+    }
+    if step_tflops:
+        out["step_tflops"] = round(step_tflops, 3)
+    if mfu:
+        out["mfu_pct"] = round(mfu * 100, 1)
+        out["peak_tflops_bf16"] = peak
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,21 @@
 """Generative serving benchmark: answers/sec + p50/p95 latency with
 KV-cached batched beam decode (BASELINE.md target row 2).
 
+Methodology (bench.py standard — see vivqa_tpu/utils/profiling.py for
+why naive timing lies through remote-dispatch tunnels):
+
+- THROUGHPUT: back-to-back pipelined generates, ONE host barrier per
+  window, median of BENCH_SERVE_WINDOWS (>=3) windows, RTT floor
+  subtracted. This is the number a saturated serving queue sees.
+- LATENCY: per-call wall time with a host barrier on EVERY call over
+  BENCH_SERVE_LAT_CALLS calls -> true p50/p95 per-batch latency. Each
+  call pays one tunnel RTT; the measured RTT floor is reported alongside
+  and subtracted for the device-only percentiles.
+- REGIMES: batch 16 (latency-representative) and 64 (throughput-
+  optimal; beam decode is launch-latency-bound at small batches — the 32
+  sequential steps amortize over more rows). Override with
+  BENCH_SERVE_BATCHES="16,64"; BENCH_SERVE_STRATEGIES="greedy,beam".
+
 Prints one JSON line. Not the driver bench (that's bench.py); run
 manually on TPU:  python bench_serving.py
 """
@@ -8,11 +23,26 @@ manually on TPU:  python bench_serving.py
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+
+def _note(msg):
+    print(f"[bench_serving] {msg}", file=sys.stderr, flush=True)
+
+
+_note("starting (pre-device-init)...")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _percentile(xs, q):
+    xs = sorted(xs)
+    idx = min(len(xs) - 1, max(0, int(round(q / 100 * (len(xs) - 1)))))
+    return xs[idx]
 
 
 def main():
@@ -21,6 +51,7 @@ def main():
                                          VisualEncoderConfig)
     from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
     from vivqa_tpu.models.generative import GenerativeVQAModel
+    from vivqa_tpu.utils.profiling import measure_rtt
 
     cfg = GenerativeVQAConfig(
         visual=VisualEncoderConfig(backbone="clip", image_size=224,
@@ -35,50 +66,84 @@ def main():
         dropout=0.0)
     model = GenerativeVQAModel(cfg)
 
-    import os
-    # 16 = latency-representative serving batch; BENCH_SERVE_BATCH=64+
-    # measures the throughput-optimal regime (beam decode is launch-
-    # latency-bound at small batches — bigger batches amortize the 32
-    # sequential steps over more rows)
-    B = int(os.environ.get("BENCH_SERVE_BATCH", 16))
+    batches = [int(b) for b in
+               os.environ.get("BENCH_SERVE_BATCHES", "16,64").split(",")]
+    strategies = os.environ.get("BENCH_SERVE_STRATEGIES",
+                                "greedy,beam").split(",")
+    windows = max(3, int(os.environ.get("BENCH_SERVE_WINDOWS", 3)))
+    N = int(os.environ.get("BENCH_SERVE_WINDOW_ITERS", 20))
+    lat_calls = int(os.environ.get("BENCH_SERVE_LAT_CALLS", 15))
+
+    _note(f"devices: {jax.devices()}")
     rng = jax.random.PRNGKey(0)
-    px = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3),
-                     jnp.float32)
-    q = jnp.asarray(np.random.RandomState(1).randint(0, 64000, (B, 64)),
-                    jnp.int32)
-    dec = jnp.zeros((B, 32), jnp.int32)
-    params = model.init({"params": rng, "router": rng}, px[:2], q[:2],
-                        dec[:2])["params"]
+    Bmax = max(batches)
+    px_all = jnp.asarray(np.random.RandomState(0).rand(Bmax, 224, 224, 3),
+                         jnp.float32)
+    q_all = jnp.asarray(np.random.RandomState(1).randint(
+        0, 64000, (Bmax, 64)), jnp.int32)
+    dec = jnp.zeros((2, 32), jnp.int32)
+    _note("initializing params...")
+    params = model.init({"params": rng, "router": rng}, px_all[:2],
+                        q_all[:2], dec)["params"]
+    _note("measuring tunnel RTT floor...")
+    rtt = measure_rtt()
+    _note(f"RTT floor {rtt * 1e3:.1f} ms")
 
-    # Throughput: N back-to-back generates with ONE host sync at the end
-    # (float() is the true barrier under the axon tunnel; per-call
-    # block_until_ready returns early through the loopback relay, and a
-    # per-call host sync would charge one ~25ms tunnel RTT to every
-    # request — a measurement artifact, not device latency). Device-side
-    # per-batch latency is reported as total/N.
     results = {}
-    for strategy, beams in (("greedy", 1), ("beam", 4)):
-        gen = jax.jit(build_generate_fn(model, DecodeConfig(
-            max_length=32, strategy=strategy, num_beams=beams,
-            bos_token_id=0, eos_token_id=2, pad_token_id=1)))
-        seqs, _ = gen(params, px, q)            # compile
-        int(np.asarray(seqs).sum())             # host barrier
-        N = 30
-        t0 = time.perf_counter()
-        for _ in range(N):
-            seqs, _ = gen(params, px, q)
-        int(np.asarray(seqs).sum())             # host barrier
-        dt = (time.perf_counter() - t0) / N
-        results[strategy] = {
-            "answers_per_sec": round(B / dt, 2),
-            "device_ms_per_batch": round(dt * 1000, 2),
-        }
+    for B in batches:
+        px, q = px_all[:B], q_all[:B]
+        for strategy in strategies:
+            beams = 4 if strategy == "beam" else 1
+            key = f"{strategy}_b{B}"
+            _note(f"{key}: compiling (first TPU compile ~20-40s)...")
+            gen = jax.jit(build_generate_fn(model, DecodeConfig(
+                max_length=32, strategy=strategy, num_beams=beams,
+                bos_token_id=0, eos_token_id=2, pad_token_id=1)))
+            seqs, _ = gen(params, px, q)            # compile
+            int(np.asarray(seqs).sum())             # host barrier
 
+            # -- pipelined throughput: median of >=3 windows ------------
+            _note(f"{key}: {windows} throughput windows x {N} iters...")
+            win = []
+            for _ in range(windows):
+                t0 = time.perf_counter()
+                for _ in range(N):
+                    seqs, _ = gen(params, px, q)
+                int(np.asarray(seqs).sum())         # one barrier/window
+                win.append(time.perf_counter() - t0)
+            win.sort()
+            per_batch = max(win[len(win) // 2] - rtt, 1e-9) / N
+            spread = (win[-1] - win[0]) / win[len(win) // 2]
+
+            # -- per-call latency percentiles ---------------------------
+            _note(f"{key}: {lat_calls} per-call latency samples...")
+            lats = []
+            for _ in range(lat_calls):
+                t0 = time.perf_counter()
+                seqs, _ = gen(params, px, q)
+                int(np.asarray(seqs).sum())         # barrier EVERY call
+                lats.append(time.perf_counter() - t0)
+            p50, p95 = _percentile(lats, 50), _percentile(lats, 95)
+
+            results[key] = {
+                "answers_per_sec": round(B / per_batch, 2),
+                "device_ms_per_batch": round(per_batch * 1000, 2),
+                "window_spread_pct": round(spread * 100, 1),
+                "latency_ms_p50": round(p50 * 1000, 2),
+                "latency_ms_p95": round(p95 * 1000, 2),
+                "device_latency_ms_p50": round((p50 - rtt) * 1000, 2),
+                "device_latency_ms_p95": round((p95 - rtt) * 1000, 2),
+            }
+            _note(f"{key}: {results[key]}")
+
+    head = results.get("beam_b16") or next(iter(results.values()))
     print(json.dumps({
         "metric": "generative_serving",
-        "value": results["beam"]["answers_per_sec"],
-        "unit": "answers/sec (batch 16, beam 4, 32 new tokens, pipelined)",
+        "value": head["answers_per_sec"],
+        "unit": "answers/sec (batch 16, beam 4, 32 new tokens, pipelined, "
+                "median of %d windows)" % windows,
         "vs_baseline": 1.0,
+        "rtt_ms": round(rtt * 1e3, 2),
         "detail": results,
     }))
 

@@ -20,6 +20,19 @@ except Exception:
     pass
 
 
+@pytest.fixture(autouse=True)
+def _isolate_prng_impl():
+    """Pipelines call set_seed(fast_prng=True), which flips the GLOBAL
+    jax_default_prng_impl to unsafe_rbg; raw threefry keys created at
+    module-import time (shape (2,)) then stop parsing as PRNG keys in
+    later tests. Restore the impl after every test so ordering can't
+    poison the suite."""
+    prev = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prev:
+        jax.config.update("jax_default_prng_impl", prev)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from vivqa_tpu.parallel import MeshConfig, create_mesh

@@ -67,7 +67,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model-type", choices=["classification", "generative"])
     p.add_argument("--epochs", type=int)
     p.add_argument("--batch-size", type=int)
+    p.add_argument("--lr", type=float)
     p.add_argument("--image-size", type=int, default=64)
+    # MoE expert composition (fixed order vision->text->multimodal->
+    # specialized; ablation mask indices follow this order)
+    p.add_argument("--vision-experts", type=int, default=2)
+    p.add_argument("--text-experts", type=int, default=2)
+    p.add_argument("--multimodal-experts", type=int, default=2)
+    p.add_argument("--specialized-experts", type=int, default=0)
     p.add_argument("--output-dir", type=str)
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--experiments", type=str,
@@ -88,11 +95,19 @@ def main(argv=None):
     for field, arg in (("model_type", args.model_type),
                        ("num_epochs", args.epochs),
                        ("batch_size", args.batch_size),
+                       ("learning_rate", args.lr),
                        ("output_dir", args.output_dir)):
         if arg is not None:
             updates[field] = arg
     if updates:
         cfg = cfg.replace(**updates)
+    # keep the search space's expert count in sync with the model's
+    # actual composition (mismatched masks index out of range)
+    total_experts = (args.vision_experts + args.text_experts
+                     + args.multimodal_experts + args.specialized_experts)
+    if cfg.search.num_experts != total_experts:
+        cfg = cfg.replace(search=cfg.search.replace(
+            num_experts=total_experts))
     if cfg.model_type == "generative" and cfg.primary_metric == "vqa_accuracy":
         cfg = cfg.replace(primary_metric="bleu")
 
@@ -128,9 +143,11 @@ def main(argv=None):
                             num_layers=4, num_heads=4,
                             max_length=data_cfg.max_question_length)
     moe = MoEModelConfig(use_moe=True, moe_type="vqa",
-                         num_vision_experts=2, num_text_experts=2,
-                         num_multimodal_experts=2,
-                         num_specialized_experts=0,
+                         router_type="noisy_topk",
+                         num_vision_experts=args.vision_experts,
+                         num_text_experts=args.text_experts,
+                         num_multimodal_experts=args.multimodal_experts,
+                         num_specialized_experts=args.specialized_experts,
                          expert_hidden_dim=512)
     if cfg.model_type == "generative":
         base = GenerativeVQAConfig(

@@ -49,7 +49,11 @@ def moe_config_from_model(cfg: VQAModelConfig | "object", input_dim: int):
                                "scene_understanding", "ocr",
                                "segmentation", "spatial_reasoning")[: m.num_specialized_experts],
             expert_hidden_dim=m.expert_hidden_dim,
-            router=router.replace(router_type="noisy_topk"))
+            # honour m.router_type (router-swap ablations flow through
+            # here); "topk" — the generic default — upgrades to the
+            # VQA-MoE noisy default (reference generative_vqa_model.py:62)
+            router=(router.replace(router_type="noisy_topk")
+                    if m.router_type == "topk" else router))
     return MoEConfig(num_experts=m.num_experts, input_dim=input_dim,
                      expert=ExpertConfig(hidden_dim=m.expert_hidden_dim),
                      router=router, moe_type=m.moe_type)

@@ -30,7 +30,8 @@ from vivqa_tpu.pipelines.common import EarlyStopping, StepTimer
 from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
                              TrainState, create_optimizer,
                              cross_entropy_loss, make_train_step, perplexity,
-                             place_state, settled_params_view)
+                             place_state, settled_call,
+                             settled_params_view)
 from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -198,9 +199,12 @@ class GenerativeTrainingPipeline:
             n += 1
             know = {k: batch[k] for k in ("knowledge_embeddings",
                                           "knowledge_mask") if k in batch}
-            seqs, _ = gen_fn(params, batch["pixel_values"],
-                             batch["question_ids"], batch["question_mask"],
-                             **know)
+            # settled_call: the first post-training run of a different
+            # executable can return corrupted outputs on the axon
+            # runtime — re-run until two executions agree
+            seqs, _ = settled_call(gen_fn, params, batch["pixel_values"],
+                                   batch["question_ids"],
+                                   batch["question_mask"], **know)
             nv = batch.get("_num_valid", len(seqs))
             preds = [tokenizer.decode(s) for s in np.asarray(seqs)[:nv]]
             refs = batch.get("all_answers", [[t] for t in

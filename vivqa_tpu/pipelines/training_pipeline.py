@@ -31,8 +31,8 @@ from vivqa_tpu.pipelines.common import EarlyStopping, StepTimer
 from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
                              TrainState, create_optimizer,
                              cross_entropy_loss, make_train_step,
-                             place_state, settled_params_view,
-                             trainable_mask)
+                             place_state, settled_call,
+                             settled_params_view, trainable_mask)
 from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -277,7 +277,9 @@ class TrainingPipeline:
         shown = 0
         for batch in device_prefetch(iter(val_loader), sharding=batch_sh):
             dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
-            out = jit_eval(state, dev)
+            # settled_call: first post-training eval execution can be
+            # corrupted on the axon runtime — re-run until stable
+            out = settled_call(jit_eval, state, dev)
             nv = batch.get("_num_valid", len(batch["labels"]))
             logits = np.asarray(out["logits"], np.float32)[:nv]
             labels = np.asarray(batch["labels"])[:nv]

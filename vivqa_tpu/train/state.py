@@ -161,6 +161,31 @@ def settled_host_read(tree, max_tries: int = 5):
     return cur
 
 
+def settled_call(fn, *args, max_tries: int = 4, **kwargs):
+    """Execute a DETERMINISTIC jitted function until two consecutive
+    runs return bit-identical results; returns the host value.
+
+    Companion of settled_host_read for the EXECUTION side of the axon
+    donated-chain bug: the first run(s) of a different executable after
+    a sequence of donated train steps can produce corrupted outputs even
+    when its inputs are freshly-uploaded verified buffers (measured:
+    decode EM 0.098 on the first post-training call vs 0.490 for the
+    identical second call). Costs one duplicate execution in the common
+    case; every in-training validation decode/eval rides on it.
+    """
+    prev = jax.device_get(fn(*args, **kwargs))
+    for _ in range(max_tries):
+        cur = jax.device_get(fn(*args, **kwargs))
+        if all(np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(prev), jax.tree.leaves(cur))):
+            return cur
+        prev = cur
+    import warnings
+    warnings.warn(f"settled_call: executions did not converge after "
+                  f"{max_tries} tries; using the last result")
+    return cur
+
+
 def settled_params_view(params, max_tries: int = 5):
     """Device-resident, donation-safe snapshot of live train-state
     params (verified via settled_host_read, re-uploaded with the same

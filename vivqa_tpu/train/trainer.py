@@ -31,7 +31,8 @@ from vivqa_tpu.train.optimizers import (OptimizerConfig, SchedulerConfig,
                                         create_optimizer)
 from vivqa_tpu.train.state import (ShardedStep, TrainState, make_eval_step,
                                    make_train_step, place_state,
-                                   settled_host_read, settled_params_view)
+                                   settled_call, settled_host_read,
+                                   settled_params_view)
 from vivqa_tpu.train.strategies import trainable_mask
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -393,7 +394,7 @@ class VQATrainer:
         total, correct, loss_sum = 0, 0.0, 0.0
         for batch in device_prefetch(iter(loader), sharding=batch_sh):
             dev = {k: v for k, v in batch.items() if hasattr(v, "shape")}
-            out = jit_eval(state, dev)
+            out = settled_call(jit_eval, state, dev)
             rows = np.asarray(out["correct"])
             nv = int(batch.get("_num_valid", rows.shape[0]))
             total += nv

@@ -77,6 +77,37 @@ def time_chained(fn: Callable, args: Sequence, steps: int = 20,
     return max(total - rtt, 1e-9) / steps
 
 
+def train_step_flops(train_step: Callable, state, batch) -> float | None:
+    """FLOPs of ONE compiled train step, from XLA's cost analysis of the
+    lowered executable (the honest count: includes fusion/remat effects,
+    not an analytic paper formula). Returns None when the backend does
+    not report cost analysis. Costs one extra compile."""
+    try:
+        c = jax.jit(train_step).lower(state, batch).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+_PEAK_TFLOPS_BF16 = (  # device_kind substring -> peak dense bf16 TFLOP/s
+    ("v6", 918.0), ("trillium", 918.0), ("v5p", 459.0),
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0), ("v3", 123.0), ("v2", 45.0))
+
+
+def peak_tflops(device=None) -> float | None:
+    """Best-effort peak dense bf16 TFLOP/s for the attached chip (None
+    if unrecognized). Override precedence belongs to the caller."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_TFLOPS_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
 def time_train_steps(train_step: Callable, state, batch,
                      steps: int = 20, rtt: float | None = None,
                      repeats: int = 3) -> float:
