@@ -21,6 +21,9 @@ from pathlib import Path
 def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+_note("importing jax / connecting to device (a silent stall here is the "
+      "known tunnel hang — retry the identical command)...")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

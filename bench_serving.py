@@ -96,9 +96,15 @@ def main():
             beams = 4 if strategy == "beam" else 1
             key = f"{strategy}_b{B}"
             _note(f"{key}: compiling (first TPU compile ~20-40s)...")
+            # early_exit=False: untrained weights never emit a real EOS,
+            # and the benchmark must do fixed work per call for
+            # round-over-round comparability. Production decode defaults
+            # to early_exit=True (output-identical, exits when all rows
+            # finish — real answers are 1-5 tokens vs max_length 32).
             gen = jax.jit(build_generate_fn(model, DecodeConfig(
                 max_length=32, strategy=strategy, num_beams=beams,
-                bos_token_id=0, eos_token_id=2, pad_token_id=1)))
+                bos_token_id=0, eos_token_id=2, pad_token_id=1,
+                early_exit=False)))
             seqs, _ = gen(params, px, q)            # compile
             int(np.asarray(seqs).sum())             # host barrier
 
@@ -136,12 +142,14 @@ def main():
             }
             _note(f"{key}: {results[key]}")
 
-    head = results.get("beam_b16") or next(iter(results.values()))
+    head_key = "beam_b16" if "beam_b16" in results else next(iter(results))
+    head = results[head_key]
+    strat, bsz = head_key.rsplit("_b", 1)
     print(json.dumps({
         "metric": "generative_serving",
         "value": head["answers_per_sec"],
-        "unit": "answers/sec (batch 16, beam 4, 32 new tokens, pipelined, "
-                "median of %d windows)" % windows,
+        "unit": "answers/sec (batch %s, %s, 32 new tokens, pipelined, "
+                "median of %d windows)" % (bsz, strat, windows),
         "vs_baseline": 1.0,
         "rtt_ms": round(rtt * 1e3, 2),
         "detail": results,

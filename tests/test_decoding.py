@@ -99,6 +99,87 @@ def test_generative_with_moe(model_and_params):
     assert float(out["aux_loss"]) > 0.0
 
 
+def _table_apply_fn(table):
+    """apply_fn over a fixed (rows, steps, V) logit table; cache is the
+    step counter (a 0-d array, passed through beam gathers unchanged)."""
+    table = jnp.asarray(table)
+
+    def apply_fn(cache, tokens):
+        t = cache
+        step_logits = jax.lax.dynamic_index_in_dim(
+            jnp.swapaxes(table, 0, 1), t, axis=0, keepdims=False)
+        return step_logits, t + 1
+
+    return apply_fn
+
+
+def test_early_exit_greedy_matches_full_loop():
+    """early_exit=True must be output-identical to the fixed-trip scan,
+    including scores, when rows hit EOS at different steps."""
+    from vivqa_tpu.models.decoding import autoregressive_decode
+    V, B, L = 8, 3, 10
+    rng = np.random.RandomState(0)
+    table = rng.randn(B, L, V).astype(np.float32)
+    table[:, :, 2] -= 100.0          # keep EOS out unless forced
+    table[0, 1, 2] += 200.0          # row 0 EOS at step 1
+    table[1, 3, 2] += 200.0          # row 1 EOS at step 3
+    table[2, 5, 2] += 200.0          # row 2 EOS at step 5 -> all done by 6
+    apply_fn = _table_apply_fn(table)
+    outs = {}
+    for ee in (False, True):
+        dc = DecodeConfig(max_length=L, strategy="greedy", bos_token_id=0,
+                          eos_token_id=2, pad_token_id=1, early_exit=ee)
+        outs[ee] = jax.jit(lambda c, dc=dc: autoregressive_decode(
+            apply_fn, c, B, dc))(jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(outs[True][0]),
+                                  np.asarray(outs[False][0]))
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]), rtol=1e-6)
+    seqs = np.asarray(outs[True][0])
+    assert (seqs[0, 1], seqs[1, 3], seqs[2, 5]) == (2, 2, 2)
+    assert (seqs[0, 2:] == 1).all()  # pad after EOS
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.6])
+def test_early_exit_beam_matches_full_loop(alpha):
+    """Beam early exit uses a score bound, not a done flag — it must
+    still return the identical best sequence and penalized score."""
+    from vivqa_tpu.models.decoding import beam_search
+    V, B, K, L = 8, 2, 3, 10
+    BK = B * K
+    rng = np.random.RandomState(1)
+    table = rng.randn(BK, L, V).astype(np.float32)
+    # strongly favour EOS from step 2 on so every beam finishes early
+    table[:, 2:, 2] += 6.0
+    apply_fn = _table_apply_fn(table)
+    outs = {}
+    for ee in (False, True):
+        dc = DecodeConfig(max_length=L, strategy="beam", num_beams=K,
+                          bos_token_id=0, eos_token_id=2, pad_token_id=1,
+                          length_penalty=alpha, early_exit=ee)
+        outs[ee] = jax.jit(lambda c, dc=dc: beam_search(
+            apply_fn, c, B, dc))(jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(outs[True][0]),
+                                  np.asarray(outs[False][0]))
+    np.testing.assert_allclose(np.asarray(outs[True][1]),
+                               np.asarray(outs[False][1]), rtol=1e-6)
+    assert (np.asarray(outs[True][0]) == 2).any()   # something finished
+
+
+def test_early_exit_model_generate_matches(model_and_params):
+    """End-to-end: build_generate_fn with early_exit on/off is
+    bit-identical on the real (rarely-EOS) tiny model too."""
+    m, params, px, q = model_and_params
+    seqs = {}
+    for ee in (False, True):
+        dc = DecodeConfig(max_length=6, strategy="beam", num_beams=4,
+                          bos_token_id=0, eos_token_id=49, pad_token_id=1,
+                          early_exit=ee)
+        seqs[ee], _ = jax.jit(build_generate_fn(m, dc))(params, px, q)
+    np.testing.assert_array_equal(np.asarray(seqs[True]),
+                                  np.asarray(seqs[False]))
+
+
 @pytest.mark.parametrize("position", ["decoder", "both"])
 def test_generative_moe_decoder_position(position):
     """moe_position='decoder' — declared-but-missing in the reference."""

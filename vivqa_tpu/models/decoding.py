@@ -5,8 +5,12 @@ This replaces the reference's generation loop
 the full decoder stack on the growing sequence every step (no KV cache)
 and silently ignores its `num_beams` argument. Here:
 
-- the whole generation loop is ONE `lax.scan` inside jit — static
-  max-length, no host round-trips;
+- the whole generation loop is ONE device loop inside jit (static
+  max-length, no host round-trips) — a `lax.while_loop` that exits as
+  soon as no output can change (all rows EOS'd / no live beam can beat
+  the worst finished beam; `early_exit=True`, output-identical, ~6x
+  fewer steps on real 1-5-token answers), or a fixed-trip `lax.scan`
+  (`early_exit=False`, used by benchmarks for fixed work per call);
 - every step is O(1) decoder work thanks to the flax decode cache;
 - beam search is a real batched implementation (t5x-style): beams are
   folded into the batch dimension, the cache is gathered when beams are
@@ -40,6 +44,12 @@ class DecodeConfig:
     top_p: float = 0.9
     num_beams: int = 4
     length_penalty: float = 0.6     # Google-NMT alpha
+    # Stop the device loop as soon as no output can change: all rows
+    # EOS'd (greedy/sampling), or no live beam can still beat the worst
+    # finished beam (beam). Output-identical to the full loop — real
+    # answers are 1-5 tokens vs max_length 32, so serving decode exits
+    # ~6x earlier. False = fixed-trip lax.scan/fori (benchmarking).
+    early_exit: bool = True
 
 
 def _sample_logits(logits, rng, cfg: DecodeConfig):
@@ -75,8 +85,7 @@ def autoregressive_decode(apply_fn: Callable, cache: Any, batch_size: int,
         rng = jax.random.PRNGKey(0)
     bos = jnp.full((batch_size, 1), cfg.bos_token_id, jnp.int32)
 
-    def step(carry, _):
-        tokens, cache, done, score, rng = carry
+    def advance(tokens, cache, done, score, rng):
         logits, cache = apply_fn(cache, tokens)
         rng, sub = jax.random.split(rng)
         nxt = _sample_logits(logits, sub, cfg).astype(jnp.int32)
@@ -85,13 +94,44 @@ def autoregressive_decode(apply_fn: Callable, cache: Any, batch_size: int,
         nxt = jnp.where(done, cfg.pad_token_id, nxt)
         score = score + jnp.where(done, 0.0, tok_logp)
         done = done | (nxt == cfg.eos_token_id)
-        return (nxt[:, None], cache, done, score, rng), nxt
+        return nxt, cache, done, score, rng
 
-    init = (bos, cache, jnp.zeros((batch_size,), bool),
-            jnp.zeros((batch_size,), jnp.float32), rng)
-    (_, _, _, scores, _), toks = jax.lax.scan(step, init, None,
-                                              length=cfg.max_length)
-    return toks.T, scores                          # (B, L)
+    init_done = jnp.zeros((batch_size,), bool)
+    init_score = jnp.zeros((batch_size,), jnp.float32)
+
+    if not cfg.early_exit:
+        def step(carry, _):
+            tokens, cache, done, score, rng = carry
+            nxt, cache, done, score, rng = advance(tokens, cache, done,
+                                                   score, rng)
+            return (nxt[:, None], cache, done, score, rng), nxt
+
+        init = (bos, cache, init_done, init_score, rng)
+        (_, _, _, scores, _), toks = jax.lax.scan(step, init, None,
+                                                  length=cfg.max_length)
+        return toks.T, scores                      # (B, L)
+
+    # Early-exit variant: identical per-step math, but the loop stops
+    # once every row is done (pads thereafter are prefilled). Output is
+    # bit-identical to the scan path.
+    seqs0 = jnp.full((batch_size, cfg.max_length), cfg.pad_token_id,
+                     jnp.int32)
+
+    def cond(state):
+        t, done = state[0], state[4]
+        return (t < cfg.max_length) & ~jnp.all(done)
+
+    def body(state):
+        t, tokens, cache, seqs, done, score, rng = state
+        nxt, cache, done, score, rng = advance(tokens, cache, done,
+                                               score, rng)
+        seqs = jax.lax.dynamic_update_slice_in_dim(seqs, nxt[:, None], t,
+                                                   axis=1)
+        return (t + 1, nxt[:, None], cache, seqs, done, score, rng)
+
+    state = (jnp.int32(0), bos, cache, seqs0, init_done, init_score, rng)
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3], state[5]                      # (B, L), (B,)
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +225,34 @@ def beam_search(apply_fn: Callable, cache: Any, batch_size: int,
                 fin_seqs_new, fin_top)
 
     state = (tokens, cache, live_seqs, live_scores, fin_seqs, fin_scores)
-    state = jax.lax.fori_loop(0, L, step, state)
+    if not cfg.early_exit:
+        state = jax.lax.fori_loop(0, L, step, state)
+    else:
+        # Early exit (t5x-style bound): raw log-prob scores only fall as
+        # beams extend, and the Google-NMT penalty is largest at length
+        # L — so live_score / penalty(L) is the best penalized score any
+        # live beam can still reach. Once, in every batch row, that
+        # bound cannot beat the row's K-th finished score, later steps
+        # cannot change the output, and the loop stops.
+        # Penalty is monotone in length; raw scores are <= 0, so the
+        # best achievable penalized score divides by the LARGEST future
+        # penalty: penalty(L) for alpha >= 0, penalty(1) == 1 for
+        # alpha < 0 — max of the two covers both signs.
+        pen_max = max(((5.0 + L) / 6.0) ** cfg.length_penalty, 1.0)
+
+        def w_cond(s):
+            t = s[0]
+            _, _, _, live_scores_t, _, fin_scores_t = s[1]
+            bound = live_scores_t[:, 0] / pen_max
+            improvable = bound > fin_scores_t[:, -1]
+            return (t < L) & jnp.any(improvable)
+
+        def w_body(s):
+            t = s[0]
+            return (t + 1, step(t, s[1]))
+
+        state = jax.lax.while_loop(w_cond, w_body,
+                                   (jnp.int32(0), state))[1]
     _, _, live_seqs, live_scores, fin_seqs, fin_scores = state
 
     # Fall back to best live beam if nothing finished.
