@@ -69,6 +69,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int)
     p.add_argument("--lr", type=float)
     p.add_argument("--image-size", type=int, default=64)
+    # model scale knobs (defaults = the TPU study scale)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--expert-hidden-dim", type=int, default=512)
+    p.add_argument("--patch-size", type=int, default=16)
     # MoE expert composition (fixed order vision->text->multimodal->
     # specialized; ablation mask indices follow this order)
     p.add_argument("--vision-experts", type=int, default=2)
@@ -137,10 +142,12 @@ def main(argv=None):
     data_out = DataPipeline(data_cfg).run()
     tok = data_out.tokenizer
 
-    vis = VisualEncoderConfig(image_size=args.image_size, patch_size=16,
-                              hidden_dim=256, num_layers=4, num_heads=4)
-    txt = TextEncoderConfig(vocab_size=tok.vocab_size, hidden_dim=256,
-                            num_layers=4, num_heads=4,
+    D, NL = args.hidden_dim, args.num_layers
+    vis = VisualEncoderConfig(image_size=args.image_size,
+                              patch_size=args.patch_size,
+                              hidden_dim=D, num_layers=NL, num_heads=4)
+    txt = TextEncoderConfig(vocab_size=tok.vocab_size, hidden_dim=D,
+                            num_layers=NL, num_heads=4,
                             max_length=data_cfg.max_question_length)
     moe = MoEModelConfig(use_moe=True, moe_type="vqa",
                          router_type="noisy_topk",
@@ -148,20 +155,20 @@ def main(argv=None):
                          num_text_experts=args.text_experts,
                          num_multimodal_experts=args.multimodal_experts,
                          num_specialized_experts=args.specialized_experts,
-                         expert_hidden_dim=512)
+                         expert_hidden_dim=args.expert_hidden_dim)
     if cfg.model_type == "generative":
         base = GenerativeVQAConfig(
-            visual=vis, text=txt, fusion_dim=256, fusion_layers=2,
+            visual=vis, text=txt, fusion_dim=D, fusion_layers=2,
             fusion_heads=4, vocab_size=tok.vocab_size,
-            decoder_layers=2, decoder_heads=4, decoder_dim=256,
-            decoder_ff_dim=1024, moe=moe,
+            decoder_layers=2, decoder_heads=4, decoder_dim=D,
+            decoder_ff_dim=4 * D, moe=moe,
             bos_token_id=tok.bos_token_id, eos_token_id=tok.eos_token_id,
             pad_token_id=tok.pad_token_id,
             max_answer_length=data_cfg.max_answer_length)
     else:
         base = VQAModelConfig(
             visual=vis, text=txt,
-            fusion=FusionConfig(hidden_dim=256, num_heads=4, num_layers=2),
+            fusion=FusionConfig(hidden_dim=D, num_heads=4, num_layers=2),
             moe=moe)
 
     mesh = create_mesh(MeshConfig())
