@@ -29,7 +29,7 @@ EXP=${1:+--experiments $1}
 exec python -m vivqa_tpu.ablation.run_ablation \
   --config reports/ablation_r3/study.yaml \
   --csv-path "$CORPUS/data.csv" --image-dir "$CORPUS/images" \
-  --image-size 64 \
+  --image-size 64 --train-ratio 0.7 --val-ratio 0.2 \
   --specialized-experts 6 --vision-experts 0 --text-experts 0 \
   --multimodal-experts 0 \
   $EXP

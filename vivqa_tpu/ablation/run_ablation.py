@@ -69,6 +69,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int)
     p.add_argument("--lr", type=float)
     p.add_argument("--image-size", type=int, default=64)
+    p.add_argument("--train-ratio", type=float, default=0.8)
+    p.add_argument("--val-ratio", type=float, default=0.1)
     # model scale knobs (defaults = the TPU study scale)
     p.add_argument("--hidden-dim", type=int, default=256)
     p.add_argument("--num-layers", type=int, default=4)
@@ -138,6 +140,7 @@ def main(argv=None):
     data_cfg = DataPipelineConfig(
         csv_path=args.csv_path or "", image_dir=args.image_dir,
         image_size=args.image_size, batch_size=cfg.batch_size,
+        train_ratio=args.train_ratio, val_ratio=args.val_ratio,
         generative=(cfg.model_type == "generative"))
     data_out = DataPipeline(data_cfg).run()
     tok = data_out.tokenizer

@@ -109,7 +109,9 @@ class AblationTrainer:
             rng = jax.random.PRNGKey(cfg.seed)
             import jax.numpy as jnp
             b = next(iter(self.data.train_loader))
-            params = model.init(
+            # jit the init: eager init dispatches one tiny program per
+            # primitive, which is minutes over the TPU tunnel
+            params = jax.jit(model.init)(
                 {"params": rng, "router": rng},
                 jnp.asarray(b["pixel_values"][:2]),
                 jnp.asarray(b["question_ids"][:2]),
@@ -129,7 +131,7 @@ class AblationTrainer:
             rng = jax.random.PRNGKey(cfg.seed)
             import jax.numpy as jnp
             b = next(iter(self.data.train_loader))
-            params = model.init(
+            params = jax.jit(model.init)(
                 {"params": rng, "router": rng},
                 jnp.asarray(b["pixel_values"][:2]),
                 jnp.asarray(b["input_ids"][:2]))["params"]
@@ -155,16 +157,20 @@ class AblationTrainer:
             params = settled_host_read(out.state.params)
             m = jnp.asarray(mask) if mask else None
             if self.config.model_type == "generative":
-                res = model.apply({"params": params},
-                                  jnp.asarray(batch["pixel_values"]),
-                                  jnp.asarray(batch["question_ids"]),
-                                  jnp.asarray(batch["decoder_input_ids"]),
-                                  expert_mask=m, deterministic=True)
+                fwd = jax.jit(lambda p, px, q, d, em: model.apply(
+                    {"params": p}, px, q, d, expert_mask=em,
+                    deterministic=True))
+                res = fwd(params,
+                          jnp.asarray(batch["pixel_values"]),
+                          jnp.asarray(batch["question_ids"]),
+                          jnp.asarray(batch["decoder_input_ids"]), m)
             else:
-                res = model.apply({"params": params},
-                                  jnp.asarray(batch["pixel_values"]),
-                                  jnp.asarray(batch["input_ids"]),
-                                  expert_mask=m, deterministic=True)
+                fwd = jax.jit(lambda p, px, q, em: model.apply(
+                    {"params": p}, px, q, expert_mask=em,
+                    deterministic=True))
+                res = fwd(params,
+                          jnp.asarray(batch["pixel_values"]),
+                          jnp.asarray(batch["input_ids"]), m)
             return collect_moe_metrics(
                 jax.tree.map(lambda x: np.asarray(x)
                              if hasattr(x, "shape") else x,
