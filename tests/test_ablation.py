@@ -103,6 +103,46 @@ def test_evaluator_and_analyzer():
     assert 0 in rec.keep_experts and 1 in rec.drop_experts
 
 
+def test_noise_floor_and_significance():
+    # no n_eval anywhere -> no floor, significance unknown (None)
+    ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
+    assert ev.noise_floor() is None
+    an = AblationAnalyzer(ev)
+    assert all(c.significant is None for c in an.expert_contributions())
+
+    # explicit n_eval: binomial floor at the baseline p
+    ev = AblationEvaluator(_fake_results(), "vqa_accuracy", n_eval=200)
+    floor = ev.noise_floor()
+    assert floor["n_eval"] == 200
+    sigma = np.sqrt(0.6 * 0.4 / 200)
+    assert np.isclose(floor["sigma"], sigma)
+    assert np.isclose(floor["ci95_diff"], 1.96 * np.sqrt(2) * sigma)
+    # ci95_diff ~= 0.096: expert-0 importance 0.08 is within noise,
+    # and with n_eval=20000 (bound ~0.0096) it becomes significant
+    an = AblationAnalyzer(ev)
+    sig = {c.expert_index: c.significant for c in an.expert_contributions()}
+    assert sig[0] is False
+    ev_big = AblationEvaluator(_fake_results(), "vqa_accuracy", n_eval=20000)
+    sig_big = {c.expert_index: c.significant
+               for c in AblationAnalyzer(ev_big).expert_contributions()}
+    assert sig_big[0] is True
+    findings = AblationAnalyzer(ev).generate_key_findings()
+    assert any("Noise floor" in f for f in findings)
+    assert any("noise bound" in f for f in findings)
+
+    # metric fallback: an n_eval recorded in any result's metrics
+    res = _fake_results()
+    res[0].metrics["n_eval"] = 100
+    ev = AblationEvaluator(res, "vqa_accuracy")
+    assert ev.noise_floor()["n_eval"] == 100
+
+    # non-[0,1] primary metric -> no floor
+    ev = AblationEvaluator(_fake_results(), "val_loss", n_eval=200)
+    for r in ev.results:
+        r.metrics["val_loss"] = 1.7
+    assert ev.noise_floor() is None
+
+
 def test_reporter_outputs(tmp_path):
     ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
     rep = AblationReporter(ev, AblationAnalyzer(ev))

@@ -22,6 +22,8 @@ class ExpertContribution:
     expert_index: int
     importance: float
     classification: str      # essential | helpful | neutral | redundant
+    significant: Optional[bool] = None   # |importance| > 95% noise bound
+                                         # (None = no noise floor known)
 
 
 @dataclasses.dataclass
@@ -52,6 +54,8 @@ class AblationAnalyzer:
         self.redundant_threshold = redundant_threshold
 
     def expert_contributions(self) -> List[ExpertContribution]:
+        floor = self.ev.noise_floor()
+        bound = floor["ci95_diff"] if floor else None
         out = []
         for imp in self.ev.expert_importance():
             if imp.importance >= self.essential_threshold:
@@ -62,8 +66,9 @@ class AblationAnalyzer:
                 cls = "neutral"
             else:
                 cls = "redundant"
+            sig = (abs(imp.importance) > bound) if bound is not None else None
             out.append(ExpertContribution(imp.expert_index, imp.importance,
-                                          cls))
+                                          cls, sig))
         return out
 
     def pairwise_synergies(self) -> List[PairwiseSynergy]:
@@ -108,15 +113,35 @@ class AblationAnalyzer:
             findings.append(
                 f"Baseline (full MoE) {self.ev.primary} = "
                 f"{base.metrics.get(self.ev.primary, 0.0):.4f}.")
+        floor = self.ev.noise_floor()
+        if floor is not None:
+            findings.append(
+                f"Noise floor: n_eval={floor['n_eval']}, 95% bound on a "
+                f"between-run {self.ev.primary} difference = "
+                f"±{floor['ci95_diff']:.4f} (binomial, independent-samples "
+                f"conservative).")
         no_moe = self.ev.by_id.get(next(
             (i for i in self.ev.by_id if i.startswith("no_moe__")), ""))
         if base is not None and no_moe is not None:
             d = (base.metrics.get(self.ev.primary, 0.0)
                  - no_moe.metrics.get(self.ev.primary, 0.0))
             direction = "improves" if d > 0 else "does not improve"
+            qual = ""
+            if floor is not None:
+                qual = (" (exceeds the noise bound)"
+                        if abs(d) > floor["ci95_diff"]
+                        else " (WITHIN the noise bound — not significant)")
             findings.append(f"MoE {direction} over the dense model by "
-                            f"{abs(d):.4f} {self.ev.primary}.")
+                            f"{abs(d):.4f} {self.ev.primary}{qual}.")
         contribs = self.expert_contributions()
+        if floor is not None and contribs:
+            n_sig = sum(1 for c in contribs if c.significant)
+            findings.append(
+                f"{n_sig}/{len(contribs)} leave-one-out importances exceed "
+                f"the 95% noise bound"
+                + ("." if n_sig else
+                   " — expert importance does NOT separate from noise at "
+                   "this val-set size."))
         ess = [c.expert_index for c in contribs
                if c.classification == "essential"]
         red = [c.expert_index for c in contribs
@@ -148,6 +173,7 @@ class AblationAnalyzer:
             "pairwise_synergies": [
                 {**dataclasses.asdict(s), "synergy": s.synergy}
                 for s in self.pairwise_synergies()],
+            "noise_floor": self.ev.noise_floor(),
             "router_analysis": self.router_analysis(),
             "recommendation": dataclasses.asdict(self.recommendation()),
             "key_findings": self.generate_key_findings(),

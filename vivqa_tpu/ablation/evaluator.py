@@ -9,6 +9,7 @@ deltas vs baseline.
 from __future__ import annotations
 
 import dataclasses
+import math
 import re
 from typing import Dict, List, Optional
 
@@ -40,10 +41,12 @@ class ExpertImportance:
 class AblationEvaluator:
     def __init__(self, results: List[ExperimentResult],
                  primary_metric: str = "vqa_accuracy",
-                 model_type: str = "classification"):
+                 model_type: str = "classification",
+                 n_eval: Optional[int] = None):
         self.results = [r for r in results if r.status == "completed"]
         self.primary = primary_metric
         self.model_type = model_type
+        self.n_eval = n_eval
         self.by_id = {r.experiment_id: r for r in self.results}
 
     def baseline(self) -> Optional[ExperimentResult]:
@@ -89,6 +92,35 @@ class AblationEvaluator:
                 out.append(ExpertImportance(
                     int(m.group(1)), b, r.metrics.get(self.primary, 0.0)))
         return sorted(out, key=lambda x: -x.importance)
+
+    def noise_floor(self) -> Optional[Dict]:
+        """Binomial noise bound on the primary metric.
+
+        Only meaningful for accuracy-like metrics in [0, 1]. ``sigma`` is
+        the std of the baseline estimate; ``sigma_diff`` the conservative
+        (independent-samples) std of a DIFFERENCE between two runs scored
+        on the same val set — paired differences are smaller, so a delta
+        exceeding ``ci95_diff`` (1.96·sigma_diff) is strong evidence. The
+        val-set size comes from the explicit ``n_eval`` ctor arg, falling
+        back to an ``n_eval`` entry any experiment recorded in metrics.
+        """
+        base = self.baseline()
+        if base is None:
+            return None
+        p = base.metrics.get(self.primary)
+        n = self.n_eval or next(
+            (r.metrics.get("n_eval") for r in self.results
+             if r.metrics.get("n_eval")), None)
+        if p is None or not n or not (0.0 <= p <= 1.0):
+            return None
+        # Laplace-clamp p away from 0/1 so a saturated metric doesn't
+        # degenerate the bound to zero (which would call ANY delta
+        # significant)
+        p = min(max(p, 1.0 / (n + 2)), 1.0 - 1.0 / (n + 2))
+        sigma = math.sqrt(p * (1.0 - p) / n)
+        sigma_diff = math.sqrt(2.0) * sigma
+        return {"n_eval": int(n), "sigma": sigma, "sigma_diff": sigma_diff,
+                "ci95_diff": 1.96 * sigma_diff}
 
     def router_comparison(self) -> List[Dict]:
         """Router ablations on the full-expert baseline (reference :319)."""

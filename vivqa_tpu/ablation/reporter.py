@@ -50,12 +50,19 @@ class AblationReporter:
 
         imp = self.an.expert_contributions()
         if imp:
-            lines += ["## Expert importance (leave-one-out)", "",
-                      "| expert | importance | classification |",
-                      "|---|---|---|"]
+            floor = ev.noise_floor()
+            lines += ["## Expert importance (leave-one-out)", ""]
+            if floor is not None:
+                lines += [f"95% noise bound on a between-run {ev.primary} "
+                          f"difference: ±{floor['ci95_diff']:.4f} "
+                          f"(n_eval={floor['n_eval']}).", ""]
+            lines += ["| expert | importance | classification | significant |",
+                      "|---|---|---|---|"]
             for c in imp:
+                sig = ("-" if c.significant is None
+                       else ("yes" if c.significant else "no"))
                 lines.append(f"| {c.expert_index} | {c.importance:+.4f} "
-                             f"| {c.classification} |")
+                             f"| {c.classification} | {sig} |")
             lines.append("")
 
         syn = self.an.pairwise_synergies()
@@ -105,10 +112,11 @@ class AblationReporter:
         path = Path(path)
         with open(path, "w", newline="") as f:
             w = csv.writer(f)
-            w.writerow(["expert", "importance", "classification"])
+            w.writerow(["expert", "importance", "classification",
+                        "significant"])
             for c in self.an.expert_contributions():
                 w.writerow([c.expert_index, f"{c.importance:.6f}",
-                            c.classification])
+                            c.classification, c.significant])
         return path
 
     # -- LaTeX -------------------------------------------------------------------

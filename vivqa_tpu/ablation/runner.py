@@ -73,9 +73,15 @@ class AblationRunner:
             "config": self.config.to_dict()}, indent=2))
 
     # -- reporting --------------------------------------------------------------
+    def _n_eval(self) -> Optional[int]:
+        try:
+            return len(self.trainer.data.val_loader.dataset)
+        except (AttributeError, TypeError):
+            return None
+
     def _report(self, results: List[ExperimentResult]) -> None:
         ev = AblationEvaluator(results, self.config.primary_metric,
-                               self.config.model_type)
+                               self.config.model_type, n_eval=self._n_eval())
         if not ev.results:
             return
         an = AblationAnalyzer(ev)

@@ -188,7 +188,13 @@ class AblationTrainer:
             try:
                 out, moe_metrics = self._build_and_run(experiment, accumulate)
                 history = out.history
-                final = history[-1] if history else {}
+                final = dict(history[-1]) if history else {}
+                try:
+                    # val-set size: lets the evaluator bound the binomial
+                    # noise floor on accuracy-like metrics
+                    final["n_eval"] = len(self.data.val_loader.dataset)
+                except (AttributeError, TypeError):
+                    pass
                 self._save_epoch_results(eid, history)
                 return ExperimentResult(
                     experiment_id=eid, status="completed", metrics=final,
