@@ -59,6 +59,41 @@ def interactive_select(config: AblationConfig) -> Optional[List[int]]:
         return None
 
 
+def report_only(config: AblationConfig, n_eval: Optional[int] = None):
+    """Regenerate reports from persisted result JSONs (no training, no
+    device). Mirrors the runner's final evaluate/analyze/report step so a
+    finished (or interrupted) study can be re-analyzed offline — e.g.
+    with a different --n-eval or after an analyzer change."""
+    import json
+    from pathlib import Path
+
+    from vivqa_tpu.ablation.analyzer import AblationAnalyzer
+    from vivqa_tpu.ablation.evaluator import AblationEvaluator
+    from vivqa_tpu.ablation.reporter import AblationReporter
+    from vivqa_tpu.ablation.trainer import ExperimentResult
+
+    log = get_pipeline_logger()
+    out = Path(config.output_dir)
+    results = []
+    for p in sorted((out / "results").glob("*.json")):
+        try:
+            results.append(ExperimentResult(**json.loads(p.read_text())))
+        except (json.JSONDecodeError, TypeError) as e:
+            log.warning("skipping unreadable result %s: %s", p.name, e)
+    if not results:
+        raise SystemExit(f"no result JSONs under {out / 'results'}")
+    ev = AblationEvaluator(results, config.primary_metric,
+                           config.model_type, n_eval=n_eval)
+    an = AblationAnalyzer(ev)
+    files = AblationReporter(ev, an).save_all_reports(out / "reports")
+    log.section(f"REPORT-ONLY: {len(ev.results)} completed results")
+    for f in an.generate_key_findings():
+        log.info("finding: %s", f)
+    for k, v in files.items():
+        log.key_value(k, v)
+    return files
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="MoE ablation study (TPU)")
     p.add_argument("--config", type=str, help="ablation YAML")
@@ -84,6 +119,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--specialized-experts", type=int, default=0)
     p.add_argument("--output-dir", type=str)
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--report-only", action="store_true",
+                   help="regenerate reports from saved result JSONs in "
+                        "<output-dir>/results without re-training")
+    p.add_argument("--n-eval", type=int, default=None,
+                   help="val-set size for the noise-floor bound in "
+                        "--report-only mode (new runs record it themselves)")
     p.add_argument("--experiments", type=str,
                    help="indices to run, e.g. '1,3,5-7'")
     p.add_argument("--rerun", action="store_true")
@@ -121,6 +162,9 @@ def main(argv=None):
     if args.dry_run:
         dry_run(cfg)
         return None
+
+    if args.report_only:
+        return report_only(cfg, n_eval=args.n_eval)
 
     selected = (parse_experiment_ranges(args.experiments)
                 if args.experiments else None)
