@@ -143,6 +143,62 @@ def test_noise_floor_and_significance():
     assert ev.noise_floor() is None
 
 
+def test_mcnemar_exact_p():
+    from vivqa_tpu.ablation.evaluator import mcnemar_exact_p
+    assert mcnemar_exact_p(0, 0) == 1.0
+    assert mcnemar_exact_p(3, 3) == 1.0                  # symmetric
+    # b=10, c=0: 2 * C(10,0) * 0.5^10 = 2/1024
+    assert np.isclose(mcnemar_exact_p(10, 0), 2 / 1024)
+    assert mcnemar_exact_p(10, 0) < 0.05
+    assert mcnemar_exact_p(4, 1) > 0.05                  # too few discordant
+    assert mcnemar_exact_p(1, 4) == mcnemar_exact_p(4, 1)  # two-sided
+
+
+def test_paired_comparisons_and_significance():
+    res = _fake_results()
+    n = 100
+    base_mask = [1] * 60 + [0] * 40
+    # LOO-0: 12 baseline-only-correct, 0 ablated-only -> p ~ 2*0.5^12, sig
+    loo0_mask = [1] * 48 + [0] * 12 + [0] * 40
+    # LOO-1: 2 vs 3 discordant -> not significant
+    loo1_mask = ([1] * 58 + [0] * 2) + ([1] * 3 + [0] * 37)
+    for r in res:
+        if r.experiment_id.startswith("full__noisy"):
+            r.correct_mask = base_mask
+        elif r.experiment_id.startswith("leave_one_out_0"):
+            r.correct_mask = loo0_mask
+        elif r.experiment_id.startswith("leave_one_out_1"):
+            r.correct_mask = loo1_mask
+    ev = AblationEvaluator(res, "vqa_accuracy", n_eval=n)
+    paired = ev.paired_comparisons()
+    by_id = {p["experiment_id"]: p for p in paired}
+    p0 = by_id["leave_one_out_0__noisy_topk_k2_lb0.01"]
+    assert p0["baseline_only_correct"] == 12
+    assert p0["ablated_only_correct"] == 0
+    assert p0["significant"] and p0["p_value"] < 0.001
+    assert np.isclose(p0["delta"], 0.12)
+    p1 = by_id["leave_one_out_1__noisy_topk_k2_lb0.01"]
+    assert not p1["significant"]
+    assert paired[0] is p0                               # sorted by p
+
+    # analyzer prefers the paired verdict over the binomial bound:
+    # expert 0 significant despite |imp|=0.08 < ci95_diff~0.136 at n=100
+    an = AblationAnalyzer(ev)
+    sig = {c.expert_index: c.significant for c in an.expert_contributions()}
+    assert sig[0] is True and sig[1] is False
+    findings = an.generate_key_findings()
+    assert any("McNemar" in f for f in findings)
+
+    # masks of mismatched length are skipped, absent masks -> no tests
+    res[2].correct_mask = [1, 0]
+    ev = AblationEvaluator(res, "vqa_accuracy")
+    assert all(p["experiment_id"] != "leave_one_out_0__noisy_topk_k2_lb0.01"
+               for p in ev.paired_comparisons())
+    for r in res:
+        r.correct_mask = None
+    assert AblationEvaluator(res, "vqa_accuracy").paired_comparisons() == []
+
+
 def test_reporter_outputs(tmp_path):
     ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
     rep = AblationReporter(ev, AblationAnalyzer(ev))

@@ -56,6 +56,13 @@ class AblationAnalyzer:
     def expert_contributions(self) -> List[ExpertContribution]:
         floor = self.ev.noise_floor()
         bound = floor["ci95_diff"] if floor else None
+        # paired McNemar verdicts (preferred over the binomial bound
+        # when per-sample masks were recorded)
+        paired = {}
+        for pc in self.ev.paired_comparisons():
+            m = re.match(r"leave_one_out_(\d+)__", pc["experiment_id"])
+            if m:
+                paired[int(m.group(1))] = pc["significant"]
         out = []
         for imp in self.ev.expert_importance():
             if imp.importance >= self.essential_threshold:
@@ -66,7 +73,11 @@ class AblationAnalyzer:
                 cls = "neutral"
             else:
                 cls = "redundant"
-            sig = (abs(imp.importance) > bound) if bound is not None else None
+            if imp.expert_index in paired:
+                sig = paired[imp.expert_index]
+            else:
+                sig = (abs(imp.importance) > bound) if bound is not None \
+                    else None
             out.append(ExpertContribution(imp.expert_index, imp.importance,
                                           cls, sig))
         return out
@@ -133,12 +144,27 @@ class AblationAnalyzer:
                         else " (WITHIN the noise bound — not significant)")
             findings.append(f"MoE {direction} over the dense model by "
                             f"{abs(d):.4f} {self.ev.primary}{qual}.")
+        paired = self.ev.paired_comparisons()
+        if paired:
+            n_sig = sum(1 for p in paired if p["significant"])
+            findings.append(
+                f"Paired McNemar tests vs baseline: {n_sig}/{len(paired)} "
+                f"experiments differ significantly (p<0.05, exact, "
+                f"discordant pairs only).")
+            top = paired[0]
+            findings.append(
+                f"Strongest paired effect: {top['experiment_id']} "
+                f"(baseline-only correct {top['baseline_only_correct']}, "
+                f"ablated-only correct {top['ablated_only_correct']}, "
+                f"p={top['p_value']:.4f}).")
         contribs = self.expert_contributions()
         if floor is not None and contribs:
             n_sig = sum(1 for c in contribs if c.significant)
+            how = ("paired McNemar p<0.05" if paired
+                   else "the 95% noise bound")
             findings.append(
-                f"{n_sig}/{len(contribs)} leave-one-out importances exceed "
-                f"the 95% noise bound"
+                f"{n_sig}/{len(contribs)} leave-one-out importances pass "
+                f"{how}"
                 + ("." if n_sig else
                    " — expert importance does NOT separate from noise at "
                    "this val-set size."))
@@ -174,6 +200,7 @@ class AblationAnalyzer:
                 {**dataclasses.asdict(s), "synergy": s.synergy}
                 for s in self.pairwise_synergies()],
             "noise_floor": self.ev.noise_floor(),
+            "paired_comparisons": self.ev.paired_comparisons(),
             "router_analysis": self.router_analysis(),
             "recommendation": dataclasses.asdict(self.recommendation()),
             "key_findings": self.generate_key_findings(),

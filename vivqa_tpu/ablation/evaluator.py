@@ -26,6 +26,18 @@ def get_metrics_for_model_type(model_type: str):
             else CLASSIFICATION_METRICS)
 
 
+def mcnemar_exact_p(b: int, c: int) -> float:
+    """Two-sided exact McNemar p-value from the discordant-pair counts
+    (b = first-only-correct, c = second-only-correct): binomial tail of
+    min(b, c) under Bin(b+c, 0.5), doubled and capped at 1."""
+    n = b + c
+    if n == 0:
+        return 1.0
+    k = min(b, c)
+    tail = sum(math.comb(n, i) for i in range(k + 1)) * 0.5 ** n
+    return min(1.0, 2.0 * tail)
+
+
 @dataclasses.dataclass
 class ExpertImportance:
     expert_index: int
@@ -92,6 +104,32 @@ class AblationEvaluator:
                 out.append(ExpertImportance(
                     int(m.group(1)), b, r.metrics.get(self.primary, 0.0)))
         return sorted(out, key=lambda x: -x.importance)
+
+    def paired_comparisons(self) -> List[Dict]:
+        """Exact McNemar tests of every experiment against the full
+        baseline, for experiments that recorded a per-sample
+        ``correct_mask``. Paired tests only count DISCORDANT samples, so
+        they separate real effects from noise at val-set sizes where the
+        independent binomial bound (``noise_floor``) cannot."""
+        base = self.baseline()
+        if base is None or not getattr(base, "correct_mask", None):
+            return []
+        bm = base.correct_mask
+        out = []
+        for r in self.results:
+            cm = getattr(r, "correct_mask", None)
+            if r is base or not cm or len(cm) != len(bm):
+                continue
+            b = sum(1 for x, y in zip(bm, cm) if x and not y)
+            c = sum(1 for x, y in zip(bm, cm) if not x and y)
+            p = mcnemar_exact_p(b, c)
+            out.append({"experiment_id": r.experiment_id,
+                        "baseline_only_correct": b,
+                        "ablated_only_correct": c,
+                        "delta": (sum(bm) - sum(cm)) / len(bm),
+                        "p_value": p,
+                        "significant": p < 0.05})
+        return sorted(out, key=lambda d: d["p_value"])
 
     def noise_floor(self) -> Optional[Dict]:
         """Binomial noise bound on the primary metric.

@@ -65,6 +65,24 @@ class AblationReporter:
                              f"| {c.classification} | {sig} |")
             lines.append("")
 
+        paired = ev.paired_comparisons()
+        if paired:
+            lines += ["## Paired McNemar tests vs baseline", "",
+                      "Exact two-sided test on discordant val samples "
+                      "(paired — far tighter than the independent bound "
+                      "above).", "",
+                      "| experiment | baseline-only ✓ | ablated-only ✓ "
+                      "| delta | p | significant |",
+                      "|---|---|---|---|---|---|"]
+            for p in paired:
+                lines.append(
+                    f"| `{p['experiment_id']}` "
+                    f"| {p['baseline_only_correct']} "
+                    f"| {p['ablated_only_correct']} | {p['delta']:+.4f} "
+                    f"| {p['p_value']:.4f} "
+                    f"| {'yes' if p['significant'] else 'no'} |")
+            lines.append("")
+
         syn = self.an.pairwise_synergies()
         if syn:
             lines += ["## Pairwise synergies", "",

@@ -122,6 +122,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--report-only", action="store_true",
                    help="regenerate reports from saved result JSONs in "
                         "<output-dir>/results without re-training")
+    p.add_argument("--backfill-masks", action="store_true",
+                   help="compute per-sample correct_mask for completed "
+                        "experiments from their saved checkpoints (enables "
+                        "paired McNemar tests on older studies)")
     p.add_argument("--n-eval", type=int, default=None,
                    help="val-set size for the noise-floor bound in "
                         "--report-only mode (new runs record it themselves)")
@@ -221,6 +225,8 @@ def main(argv=None):
     mesh = create_mesh(MeshConfig())
     trainer = AblationTrainer(cfg, base, data_out, mesh)
     runner = AblationRunner(cfg, trainer)
+    if args.backfill_masks:
+        return runner.backfill_masks(selected=selected)
     return runner.run(selected=selected, rerun=args.rerun,
                       resume=args.resume)
 

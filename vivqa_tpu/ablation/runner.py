@@ -87,6 +87,33 @@ class AblationRunner:
         an = AblationAnalyzer(ev)
         AblationReporter(ev, an).save_all_reports(self.out / "reports")
 
+    def backfill_masks(self, selected: Optional[Sequence[int]] = None):
+        """Fill ``correct_mask`` into completed result JSONs from saved
+        checkpoints (no retraining), then regenerate reports."""
+        matrix = self.config.generate_experiment_matrix()
+        if selected:
+            matrix = [matrix[i] for i in selected if 0 <= i < len(matrix)]
+        completed = self._load_completed()
+        updated = 0
+        for exp in matrix:
+            r = completed.get(exp.experiment_id)
+            if r is None or r.correct_mask:
+                continue
+            self.log.info("backfilling mask for %s", exp.experiment_id)
+            try:
+                r.correct_mask = self.trainer.backfill_correct_mask(exp)
+            except Exception as e:  # noqa: BLE001
+                self.log.warning("backfill failed for %s: %s",
+                                 exp.experiment_id, e)
+                continue
+            if r.correct_mask:
+                self._save_result(r)
+                updated += 1
+        self.log.info("backfilled %d experiments", updated)
+        results = list(self._load_completed().values())
+        self._report(results)
+        return results
+
     # -- main loop -----------------------------------------------------------------
     def run(self, selected: Optional[Sequence[int]] = None,
             rerun: bool = False, resume: bool = True) -> List[ExperimentResult]:

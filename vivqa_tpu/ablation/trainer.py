@@ -37,6 +37,10 @@ class ExperimentResult:
     wall_seconds: float
     error: str = ""
     moe_metrics: Optional[Dict] = None
+    # per-val-sample 0/1 exact-match correctness with the best params —
+    # enables paired (McNemar) comparisons between experiments, which
+    # are far more sensitive than independent binomial bounds
+    correct_mask: Optional[list] = None
 
 
 class AblationTrainer:
@@ -143,7 +147,8 @@ class AblationTrainer:
             out = tp.run(model, params, self.mesh, self.data.train_loader,
                          self.data.val_loader, self.data.id2answer)
         moe_metrics = self._collect_moe_metrics(model, out, mask)
-        return out, moe_metrics
+        correct_mask = self._collect_correct_mask(model, out, mask)
+        return out, moe_metrics, correct_mask
 
     def _collect_moe_metrics(self, model, out, mask):
         """Router telemetry on one val batch with the trained params
@@ -178,6 +183,61 @@ class AblationTrainer:
         except Exception:
             return None
 
+    def _correct_mask_from_params(self, model, params, mask):
+        import jax
+        import jax.numpy as jnp
+        m = jnp.asarray(mask) if mask else None
+        fwd = jax.jit(lambda p, px, q, em: model.apply(
+            {"params": p}, px, q, expert_mask=em,
+            deterministic=True)["logits"])
+        bits = []
+        for batch in self.data.val_loader:
+            logits = fwd(params, jnp.asarray(batch["pixel_values"]),
+                         jnp.asarray(batch["input_ids"]), m)
+            nv = batch.get("_num_valid", len(batch["labels"]))
+            preds = np.asarray(logits).argmax(-1)[:nv]
+            labels = np.asarray(batch["labels"])[:nv]
+            bits.extend((preds == labels).astype(int).tolist())
+        return bits
+
+    def _collect_correct_mask(self, model, out, mask):
+        """Per-sample argmax==label correctness on the full val set with
+        the best params (classification only). With one gold answer per
+        sample this is exactly per-sample exact match: pred string ==
+        reference iff pred id == label id. Val loaders pad the last
+        batch, so rows are trimmed with ``_num_valid``."""
+        if self.config.model_type == "generative":
+            return None
+        try:
+            from vivqa_tpu.train.state import settled_host_read
+            params = settled_host_read(out.state.params)
+            return self._correct_mask_from_params(model, params, mask)
+        except Exception:
+            return None
+
+    def backfill_correct_mask(self, experiment: ExperimentConfig):
+        """Compute ``correct_mask`` for an already-trained experiment
+        from its saved best checkpoint — lets older studies gain paired
+        McNemar tests without retraining (classification only)."""
+        if self.config.model_type == "generative":
+            return None
+        from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+        from vivqa_tpu.train.checkpoint import (CheckpointConfig,
+                                                CheckpointManager)
+        model_cfg, mask = self._modified_model(experiment)
+        mc = model_cfg.replace(num_answers=len(self.data.answer2id))
+        model = VietnameseVQAModel(mc)
+        ckpt = CheckpointManager(CheckpointConfig(
+            directory=str(Path(self.config.output_dir) / "checkpoints" /
+                          experiment.experiment_id),
+            best_metric=self.config.primary_metric))
+        try:
+            restored, _ = ckpt.restore_best()
+        finally:
+            ckpt.close()
+        return self._correct_mask_from_params(model, restored["params"],
+                                              mask)
+
     def run_experiment(self, experiment: ExperimentConfig) -> ExperimentResult:
         eid = experiment.experiment_id
         log = self.log
@@ -186,7 +246,8 @@ class AblationTrainer:
         accumulate = 1
         for attempt in range(2):
             try:
-                out, moe_metrics = self._build_and_run(experiment, accumulate)
+                out, moe_metrics, correct_mask = self._build_and_run(
+                    experiment, accumulate)
                 history = out.history
                 final = dict(history[-1]) if history else {}
                 try:
@@ -199,7 +260,7 @@ class AblationTrainer:
                 return ExperimentResult(
                     experiment_id=eid, status="completed", metrics=final,
                     history=history, wall_seconds=time.time() - t0,
-                    moe_metrics=moe_metrics)
+                    moe_metrics=moe_metrics, correct_mask=correct_mask)
             except KeyboardInterrupt:
                 return ExperimentResult(
                     experiment_id=eid, status="interrupted", metrics={},
