@@ -40,9 +40,7 @@ import numpy as np
 
 
 def _percentile(xs, q):
-    xs = sorted(xs)
-    idx = min(len(xs) - 1, max(0, int(round(q / 100 * (len(xs) - 1)))))
-    return xs[idx]
+    return float(np.percentile(xs, q, method="nearest"))
 
 
 def main():
@@ -137,8 +135,12 @@ def main():
                 "window_spread_pct": round(spread * 100, 1),
                 "latency_ms_p50": round(p50 * 1000, 2),
                 "latency_ms_p95": round(p95 * 1000, 2),
-                "device_latency_ms_p50": round((p50 - rtt) * 1000, 2),
-                "device_latency_ms_p95": round((p95 - rtt) * 1000, 2),
+                # RTT is a noisy one-shot sample: clamp so a slow RTT
+                # draw can't report negative device latency
+                "device_latency_ms_p50": round(max(p50 - rtt, 0.0) * 1000,
+                                               2),
+                "device_latency_ms_p95": round(max(p95 - rtt, 0.0) * 1000,
+                                               2),
             }
             _note(f"{key}: {results[key]}")
 

@@ -12,6 +12,8 @@
 # Usage (from /root/repo, ambient axon env):
 #   bash reports/ablation_r3/run_study.sh            # all (resumes)
 #   bash reports/ablation_r3/run_study.sh 0-2        # one chunk
+#   bash reports/ablation_r3/run_study.sh backfill   # masks from ckpts
+#   bash reports/ablation_r3/run_study.sh report     # re-report only
 set -euo pipefail
 cd "$(dirname "$0")/../.."
 
@@ -25,7 +27,12 @@ print("corpus:", csv)
 EOF
 fi
 
-EXP=${1:+--experiments $1}
+case "${1:-}" in
+  backfill) EXP="--backfill-masks" ;;
+  report)   EXP="--report-only" ;;
+  "")       EXP="" ;;
+  *)        EXP="--experiments $1" ;;
+esac
 exec python -m vivqa_tpu.ablation.run_ablation \
   --config reports/ablation_r3/study.yaml \
   --csv-path "$CORPUS/data.csv" --image-dir "$CORPUS/images" \

@@ -158,12 +158,25 @@ class AblationAnalyzer:
                 f"ablated-only correct {top['ablated_only_correct']}, "
                 f"p={top['p_value']:.4f}).")
         contribs = self.expert_contributions()
-        if floor is not None and contribs:
-            n_sig = sum(1 for c in contribs if c.significant)
-            how = ("paired McNemar p<0.05" if paired
-                   else "the 95% noise bound")
+        judged = [c for c in contribs if c.significant is not None]
+        if judged:
+            n_sig = sum(1 for c in judged if c.significant)
+            paired_ids = {re.match(r"leave_one_out_(\d+)__",
+                                   p["experiment_id"]).group(1)
+                          for p in paired
+                          if re.match(r"leave_one_out_(\d+)__",
+                                      p["experiment_id"])}
+            n_paired = sum(1 for c in judged
+                           if str(c.expert_index) in paired_ids)
+            if n_paired == len(judged):
+                how = "paired McNemar p<0.05"
+            elif n_paired == 0:
+                how = "the 95% binomial noise bound"
+            else:
+                how = (f"significance tests (paired McNemar for "
+                       f"{n_paired}, binomial bound for the rest)")
             findings.append(
-                f"{n_sig}/{len(contribs)} leave-one-out importances pass "
+                f"{n_sig}/{len(judged)} leave-one-out importances pass "
                 f"{how}"
                 + ("." if n_sig else
                    " — expert importance does NOT separate from noise at "

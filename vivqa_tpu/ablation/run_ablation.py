@@ -112,11 +112,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--expert-hidden-dim", type=int, default=512)
     p.add_argument("--patch-size", type=int, default=16)
     # MoE expert composition (fixed order vision->text->multimodal->
-    # specialized; ablation mask indices follow this order)
-    p.add_argument("--vision-experts", type=int, default=2)
-    p.add_argument("--text-experts", type=int, default=2)
-    p.add_argument("--multimodal-experts", type=int, default=2)
-    p.add_argument("--specialized-experts", type=int, default=0)
+    # specialized; ablation mask indices follow this order). Defaults
+    # are None so an explicit flag is distinguishable from "unset" —
+    # only explicit flags may override the YAML's search.num_experts
+    p.add_argument("--vision-experts", type=int, default=None)
+    p.add_argument("--text-experts", type=int, default=None)
+    p.add_argument("--multimodal-experts", type=int, default=None)
+    p.add_argument("--specialized-experts", type=int, default=None)
     p.add_argument("--output-dir", type=str)
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--report-only", action="store_true",
@@ -154,12 +156,29 @@ def main(argv=None):
     if updates:
         cfg = cfg.replace(**updates)
     # keep the search space's expert count in sync with the model's
-    # actual composition (mismatched masks index out of range)
+    # actual composition (mismatched masks index out of range) — but
+    # NEVER silently override a YAML num_experts with built-in defaults:
+    # explicit flags win; otherwise the flags must agree with the YAML
+    comp = [args.vision_experts, args.text_experts,
+            args.multimodal_experts, args.specialized_experts]
+    explicit = any(v is not None for v in comp)
+    defaults = (2, 2, 2, 0)
+    args.vision_experts, args.text_experts, args.multimodal_experts, \
+        args.specialized_experts = (v if v is not None else d
+                                    for v, d in zip(comp, defaults))
     total_experts = (args.vision_experts + args.text_experts
                      + args.multimodal_experts + args.specialized_experts)
     if cfg.search.num_experts != total_experts:
-        cfg = cfg.replace(search=cfg.search.replace(
-            num_experts=total_experts))
+        if explicit:
+            cfg = cfg.replace(search=cfg.search.replace(
+                num_experts=total_experts))
+        else:
+            raise SystemExit(
+                f"config declares search.num_experts="
+                f"{cfg.search.num_experts} but the default expert "
+                f"composition totals {total_experts}; pass --vision-"
+                f"experts/--text-experts/--multimodal-experts/"
+                f"--specialized-experts to match")
     if cfg.model_type == "generative" and cfg.primary_metric == "vqa_accuracy":
         cfg = cfg.replace(primary_metric="bleu")
 

@@ -186,6 +186,9 @@ class AblationTrainer:
     def _correct_mask_from_params(self, model, params, mask):
         import jax
         import jax.numpy as jnp
+        # params arrive as host numpy (settled read / checkpoint);
+        # upload once, not once per val batch
+        params = jax.device_put(params)
         m = jnp.asarray(mask) if mask else None
         fwd = jax.jit(lambda p, px, q, em: model.apply(
             {"params": p}, px, q, expert_mask=em,
@@ -250,6 +253,12 @@ class AblationTrainer:
                     experiment, accumulate)
                 history = out.history
                 final = dict(history[-1]) if history else {}
+                # the classification pipeline restores the BEST checkpoint
+                # into out.state and re-validates it into final_metrics;
+                # the reported metrics must describe those same params
+                # (correct_mask and moe telemetry are computed from them)
+                if getattr(out, "final_metrics", None):
+                    final.update(out.final_metrics)
                 try:
                     # val-set size: lets the evaluator bound the binomial
                     # noise floor on accuracy-like metrics

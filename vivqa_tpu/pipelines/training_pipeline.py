@@ -32,7 +32,8 @@ from vivqa_tpu.train import (OptimizerConfig, SchedulerConfig, ShardedStep,
                              TrainState, create_optimizer,
                              cross_entropy_loss, make_train_step,
                              place_state, settled_call,
-                             settled_params_view, trainable_mask)
+                             settled_host_read, settled_params_view,
+                             trainable_mask)
 from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
 from vivqa_tpu.utils import get_pipeline_logger
 
@@ -172,9 +173,11 @@ class TrainingPipeline:
         drop_sched = None
         if cfg.dropout_schedule:
             from vivqa_tpu.data.augmentation import DropoutScheduler
+            # ramp over num_epochs-1: epochs are queried 0..E-1, so the
+            # LAST epoch must hit progress 1.0 and train at final_dropout
             drop_sched = DropoutScheduler(
                 cfg.initial_dropout, cfg.final_dropout,
-                total_steps=cfg.num_epochs,
+                total_steps=max(cfg.num_epochs - 1, 1),
                 warmup_steps=cfg.dropout_warmup_epochs,
                 schedule=cfg.dropout_schedule)
         cur_rate = None
@@ -191,6 +194,12 @@ class TrainingPipeline:
                     model = type(model)(config=DropoutScheduler.
                                         apply_to_config(model.config, rate))
                     state = state.replace(apply_fn=model.apply)
+                    if epoch > 0:
+                        # the re-jitted executables must not read the
+                        # donated train-step chain (axon corrupted-first-
+                        # read bug — see settled_host_read): settle the
+                        # live state to host and re-place fresh buffers
+                        state = place_state(settled_host_read(state), mesh)
                     jit_train, jit_eval, _, batch_sh = \
                         step_builder.compile(state)
                     log.info("dropout schedule: rate=%.3f at epoch %d "

@@ -130,6 +130,14 @@ class ShardedStep:
         return jit_train, jit_eval, state_shardings, batch_sh
 
 
+def _trees_bit_identical(a, b) -> bool:
+    # equal_nan: a diverged run (NaN leaves) must still converge —
+    # without it every read/call would burn max_tries and warn
+    return all(np.array_equal(x, y, equal_nan=(np.asarray(x).dtype.kind
+                                               in "fc"))
+               for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
 def settled_host_read(tree, max_tries: int = 5):
     """`device_get` that is safe on an in-place-DONATED buffer chain.
 
@@ -151,8 +159,7 @@ def settled_host_read(tree, max_tries: int = 5):
     prev = jax.device_get(tree)
     for _ in range(max_tries):
         cur = jax.device_get(tree)
-        if all(np.array_equal(a, b) for a, b in
-               zip(jax.tree.leaves(prev), jax.tree.leaves(cur))):
+        if _trees_bit_identical(prev, cur):
             return cur
         prev = cur
     import warnings
@@ -176,8 +183,7 @@ def settled_call(fn, *args, max_tries: int = 4, **kwargs):
     prev = jax.device_get(fn(*args, **kwargs))
     for _ in range(max_tries):
         cur = jax.device_get(fn(*args, **kwargs))
-        if all(np.array_equal(a, b) for a, b in
-               zip(jax.tree.leaves(prev), jax.tree.leaves(cur))):
+        if _trees_bit_identical(prev, cur):
             return cur
         prev = cur
     import warnings
