@@ -203,17 +203,49 @@ class AblationTrainer:
             bits.extend((preds == labels).astype(int).tolist())
         return bits
 
+    def _generative_mask_from_params(self, model, params, mask):
+        """Per-sample exact match of the greedy KV-cached decode against
+        the reference answers — the same ExactMatchAccuracy the reported
+        metrics use, read out per sample."""
+        import jax
+        import jax.numpy as jnp
+
+        from vivqa_tpu.metrics import ExactMatchAccuracy
+        from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
+        params = jax.device_put(params)
+        cfg = model.config
+        gen = jax.jit(build_generate_fn(model, DecodeConfig(
+            max_length=cfg.max_answer_length, strategy="greedy",
+            bos_token_id=cfg.bos_token_id, eos_token_id=cfg.eos_token_id,
+            pad_token_id=cfg.pad_token_id)))
+        m = jnp.asarray(mask) if mask else None
+        em = ExactMatchAccuracy()
+        tok = self.data.tokenizer
+        for batch in self.data.val_loader:
+            seqs, _ = gen(params, jnp.asarray(batch["pixel_values"]),
+                          jnp.asarray(batch["question_ids"]),
+                          jnp.asarray(batch["question_mask"]),
+                          expert_mask=m)
+            nv = batch.get("_num_valid", len(seqs))
+            preds = [tok.decode(s) for s in np.asarray(seqs)[:nv]]
+            refs = batch.get("all_answers",
+                             [[t] for t in batch.get("answer_text", [])])[:nv]
+            em.update(preds, refs)
+        return [int(x) for x in em.compute().per_sample]
+
     def _collect_correct_mask(self, model, out, mask):
-        """Per-sample argmax==label correctness on the full val set with
-        the best params (classification only). With one gold answer per
-        sample this is exactly per-sample exact match: pred string ==
-        reference iff pred id == label id. Val loaders pad the last
-        batch, so rows are trimmed with ``_num_valid``."""
-        if self.config.model_type == "generative":
-            return None
+        """Per-sample exact-match correctness on the full val set with
+        the final params. Classification: argmax==label (with one gold
+        answer per sample that IS per-sample exact match: pred string ==
+        reference iff pred id == label id). Generative: greedy-decode
+        string exact match. Val loaders pad the last batch, so rows are
+        trimmed with ``_num_valid``."""
         try:
             from vivqa_tpu.train.state import settled_host_read
             params = settled_host_read(out.state.params)
+            if self.config.model_type == "generative":
+                return self._generative_mask_from_params(model, params,
+                                                         mask)
             return self._correct_mask_from_params(model, params, mask)
         except Exception:
             return None
@@ -221,15 +253,17 @@ class AblationTrainer:
     def backfill_correct_mask(self, experiment: ExperimentConfig):
         """Compute ``correct_mask`` for an already-trained experiment
         from its saved best checkpoint — lets older studies gain paired
-        McNemar tests without retraining (classification only)."""
-        if self.config.model_type == "generative":
-            return None
-        from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+        McNemar tests without retraining."""
         from vivqa_tpu.train.checkpoint import (CheckpointConfig,
                                                 CheckpointManager)
         model_cfg, mask = self._modified_model(experiment)
-        mc = model_cfg.replace(num_answers=len(self.data.answer2id))
-        model = VietnameseVQAModel(mc)
+        if self.config.model_type == "generative":
+            from vivqa_tpu.models.generative import GenerativeVQAModel
+            model = GenerativeVQAModel(model_cfg)
+        else:
+            from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+            mc = model_cfg.replace(num_answers=len(self.data.answer2id))
+            model = VietnameseVQAModel(mc)
         ckpt = CheckpointManager(CheckpointConfig(
             directory=str(Path(self.config.output_dir) / "checkpoints" /
                           experiment.experiment_id),
@@ -238,6 +272,9 @@ class AblationTrainer:
             restored, _ = ckpt.restore_best()
         finally:
             ckpt.close()
+        if self.config.model_type == "generative":
+            return self._generative_mask_from_params(
+                model, restored["params"], mask)
         return self._correct_mask_from_params(model, restored["params"],
                                               mask)
 

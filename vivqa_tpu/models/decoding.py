@@ -295,9 +295,14 @@ def build_generate_fn(model, cfg: DecodeConfig):
         return vars_["cache"]
 
     def generate(params, pixel_values, question_ids, question_mask=None,
-                 rng=None, knowledge_embeddings=None, knowledge_mask=None):
+                 rng=None, knowledge_embeddings=None, knowledge_mask=None,
+                 expert_mask=None):
+        # expert_mask must reach the fusion MoE here too: ablation
+        # experiments train WITH the mask, so generate-then-score
+        # validation (and any inference on an ablated model) has to
+        # decode with the same expert composition
         enc = model.apply({"params": params}, pixel_values, question_ids,
-                          question_mask, None, knowledge_embeddings,
+                          question_mask, expert_mask, knowledge_embeddings,
                           knowledge_mask, method=model.encode)
         memory, memory_mask = enc["memory"], enc["memory_mask"]
         B = memory.shape[0]

@@ -192,6 +192,9 @@ class GenerativeTrainingPipeline:
         cfg = self.config
         bleu, meteor, rouge = BLEUScore(), METEORScore(), ROUGEScore()
         cider, em, prf = CIDErScore(), ExactMatchAccuracy(), PrecisionRecallF1()
+        # decode with the SAME expert composition the model was trained
+        # with (ablation masks)
+        mask = jnp.asarray(cfg.expert_mask) if cfg.expert_mask else None
         n = 0
         for batch in device_prefetch(iter(val_loader), sharding=batch_sh):
             if cfg.max_eval_batches and n >= cfg.max_eval_batches:
@@ -204,7 +207,8 @@ class GenerativeTrainingPipeline:
             # runtime — re-run until two executions agree
             seqs, _ = settled_call(gen_fn, params, batch["pixel_values"],
                                    batch["question_ids"],
-                                   batch["question_mask"], **know)
+                                   batch["question_mask"],
+                                   expert_mask=mask, **know)
             nv = batch.get("_num_valid", len(seqs))
             preds = [tokenizer.decode(s) for s in np.asarray(seqs)[:nv]]
             refs = batch.get("all_answers", [[t] for t in
