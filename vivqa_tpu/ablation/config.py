@@ -132,6 +132,15 @@ class AblationConfig(ConfigBase):
     output_dir: str = "outputs/ablation"
     primary_metric: str = "vqa_accuracy"  # bleu for generative
     seed: int = 42
+    # optional human labels for expert indices (reports only); must
+    # match the model's fixed expert order vision->text->multimodal->
+    # specialized when set
+    expert_names: tuple = ()
+
+    def expert_label(self, index: int) -> str:
+        if 0 <= index < len(self.expert_names):
+            return f"{index}:{self.expert_names[index]}"
+        return str(index)
 
     def generate_experiment_matrix(self) -> List[ExperimentConfig]:
         """Expert ablations with the default router + router ablations on

@@ -18,9 +18,12 @@ from vivqa_tpu.ablation.evaluator import (AblationEvaluator,
 
 class AblationReporter:
     def __init__(self, evaluator: AblationEvaluator,
-                 analyzer: AblationAnalyzer):
+                 analyzer: AblationAnalyzer, expert_label=str):
         self.ev = evaluator
         self.an = analyzer
+        # int -> str label for expert indices (e.g. "3:ocr"); defaults
+        # to the bare index
+        self.expert_label = expert_label
 
     # -- markdown -------------------------------------------------------------
     def generate_markdown_report(self) -> str:
@@ -61,7 +64,8 @@ class AblationReporter:
             for c in imp:
                 sig = ("-" if c.significant is None
                        else ("yes" if c.significant else "no"))
-                lines.append(f"| {c.expert_index} | {c.importance:+.4f} "
+                lines.append(f"| {self.expert_label(c.expert_index)} "
+                             f"| {c.importance:+.4f} "
                              f"| {c.classification} | {sig} |")
             lines.append("")
 
@@ -133,7 +137,8 @@ class AblationReporter:
             w.writerow(["expert", "importance", "classification",
                         "significant"])
             for c in self.an.expert_contributions():
-                w.writerow([c.expert_index, f"{c.importance:.6f}",
+                w.writerow([self.expert_label(c.expert_index),
+                            f"{c.importance:.6f}",
                             c.classification, c.significant])
         return path
 

@@ -85,7 +85,8 @@ def report_only(config: AblationConfig, n_eval: Optional[int] = None):
     ev = AblationEvaluator(results, config.primary_metric,
                            config.model_type, n_eval=n_eval)
     an = AblationAnalyzer(ev)
-    files = AblationReporter(ev, an).save_all_reports(out / "reports")
+    files = AblationReporter(ev, an, config.expert_label).save_all_reports(
+        out / "reports")
     log.section(f"REPORT-ONLY: {len(ev.results)} completed results")
     for f in an.generate_key_findings():
         log.info("finding: %s", f)

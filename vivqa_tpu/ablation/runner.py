@@ -85,7 +85,8 @@ class AblationRunner:
         if not ev.results:
             return
         an = AblationAnalyzer(ev)
-        AblationReporter(ev, an).save_all_reports(self.out / "reports")
+        AblationReporter(ev, an, self.config.expert_label).save_all_reports(
+            self.out / "reports")
 
     def backfill_masks(self, selected: Optional[Sequence[int]] = None):
         """Fill ``correct_mask`` into completed result JSONs from saved
