@@ -94,6 +94,20 @@ def test_warmup_cosine_schedule_shape():
     assert float(sched(99)) < 0.01
 
 
+@pytest.mark.parametrize("name", ["warmup_cosine", "warmup_linear",
+                                  "polynomial", "step", "onecycle",
+                                  "constant"])
+@pytest.mark.parametrize("total", [1, 2, 3])
+def test_tiny_total_steps_build(name, total):
+    """total_steps <= default warmup must still build a valid schedule
+    (a 1-batch smoke run used to crash optax's cosine decay)."""
+    sched = create_schedule(SchedulerConfig(name=name, total_steps=total),
+                            1e-3)
+    vals = [float(sched(i)) for i in range(total)]
+    assert all(np.isfinite(v) for v in vals)
+    assert max(vals) <= 1.1e-3
+
+
 @pytest.mark.parametrize("name", ["warmup_linear", "polynomial", "step",
                                   "onecycle", "constant"])
 def test_all_schedules_run(name):

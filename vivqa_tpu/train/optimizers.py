@@ -94,6 +94,9 @@ def layer_decay_scales(params, decay: float):
 def create_schedule(sched: SchedulerConfig, base_lr: float):
     """Factory (reference create_scheduler, vqa_optimizers.py:518)."""
     warmup = sched.warmup_steps or max(1, int(sched.warmup_ratio * sched.total_steps))
+    # tiny runs (total <= warmup) must still build a valid schedule:
+    # optax requires a positive post-warmup decay span
+    warmup = min(warmup, max(0, sched.total_steps - 1))
     decay_steps = max(1, sched.total_steps - warmup)
     end = base_lr * sched.min_lr_ratio
     if sched.name == "constant":
@@ -115,9 +118,12 @@ def create_schedule(sched: SchedulerConfig, base_lr: float):
                   for i in range(1, max(1, sched.total_steps // sched.step_size) + 1)}
         return optax.piecewise_constant_schedule(base_lr, bounds)
     if sched.name == "onecycle":
+        # optax NaNs on zero-width ramp intervals: need total >= 2 and
+        # pct_start strictly inside (0, 1)
+        total = max(sched.total_steps, 2)
+        pct = min(max(warmup / total, 1.0 / total), 1.0 - 1.0 / total)
         return optax.cosine_onecycle_schedule(
-            sched.total_steps, peak_value=base_lr,
-            pct_start=warmup / max(1, sched.total_steps))
+            total, peak_value=base_lr, pct_start=pct)
     raise ValueError(f"unknown scheduler '{sched.name}'")
 
 
