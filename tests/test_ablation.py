@@ -199,6 +199,87 @@ def test_paired_comparisons_and_significance():
     assert AblationEvaluator(res, "vqa_accuracy").paired_comparisons() == []
 
 
+def test_recommendation_respects_significance():
+    # With a noise floor present and NO significant importances, the
+    # keep/drop lists must be empty and the rationale must say why —
+    # the recommendation can never contradict the findings (r3 weak #2).
+    ev = AblationEvaluator(_fake_results(), "vqa_accuracy", n_eval=200)
+    an = AblationAnalyzer(ev)
+    assert all(c.significant is False for c in an.expert_contributions()
+               if c.significant is not None)
+    rec = an.recommendation()
+    assert rec.keep_experts == [] and rec.drop_experts == []
+    assert "NOT significant" in rec.rationale
+    assert "no expert's importance passes" in rec.rationale
+    # ... and the trends are still named, clearly labeled
+    assert "[0]" in rec.rationale          # nominally helpful: expert 0
+
+    # With n_eval large enough that both importances separate, the
+    # significant experts enter the lists.
+    ev_big = AblationEvaluator(_fake_results(), "vqa_accuracy",
+                               n_eval=20000)
+    rec_big = AblationAnalyzer(ev_big).recommendation()
+    assert 0 in rec_big.keep_experts and 1 in rec_big.drop_experts
+    assert "significantly" in rec_big.rationale
+
+    # No noise floor at all -> legacy raw-classification behavior,
+    # flagged as such.
+    rec_raw = AblationAnalyzer(
+        AblationEvaluator(_fake_results(), "vqa_accuracy")).recommendation()
+    assert 0 in rec_raw.keep_experts and 1 in rec_raw.drop_experts
+    assert "no noise floor" in rec_raw.rationale
+
+
+def test_ranking_tiebreak_deterministic():
+    def r(eid, acc, loss):
+        return ExperimentResult(eid, "completed",
+                                {"vqa_accuracy": acc, "val_loss": loss},
+                                [], 1.0)
+    # exact primary-metric tie: val_loss breaks it, then experiment_id
+    results = [r("b_exp", 0.8, 0.5), r("a_exp", 0.8, 0.3),
+               r("c_exp", 0.8, 0.3), r("d_exp", 0.7, 0.1)]
+    for perm in (results, results[::-1]):
+        rank = AblationEvaluator(perm, "vqa_accuracy").ranking()
+        assert [x.experiment_id for x in rank] == \
+            ["a_exp", "c_exp", "b_exp", "d_exp"]
+    # findings report a tie as a tie, not a single winner
+    ev = AblationEvaluator(results, "vqa_accuracy")
+    findings = AblationAnalyzer(ev).generate_key_findings()
+    tie = [f for f in findings if "Best configuration" in f]
+    assert tie and "TIE" in tie[0] and "a_exp" in tie[0]
+    # distinct best -> named normally
+    ev2 = AblationEvaluator([r("x", 0.9, 0.1), r("y", 0.8, 0.1)],
+                            "vqa_accuracy")
+    f2 = [f for f in AblationAnalyzer(ev2).generate_key_findings()
+          if "Best configuration" in f]
+    assert f2 and "TIE" not in f2[0] and "x" in f2[0]
+
+
+def test_saturated_vqa_accuracy_note():
+    def r(eid, em):
+        return ExperimentResult(
+            eid, "completed",
+            {"exact_match": em, "vqa_accuracy": em / 3.0,
+             "val_loss": 1 - em}, [], 1.0)
+    res = [r("full__noisy_topk_k2_lb0.01", 0.82),
+           r("no_moe__noisy_topk_k2_lb0.01", 0.81)]
+    ev = AblationEvaluator(res, "exact_match")
+    rep = AblationReporter(ev, AblationAnalyzer(ev))
+    md = rep.generate_markdown_report()
+    assert "SATURATED" in md and "min(count/3, 1)" in md
+    # not saturated (vqa_accuracy != exact_match/3) -> no note
+    res[0].metrics["vqa_accuracy"] = 0.9
+    md2 = AblationReporter(ev, AblationAnalyzer(ev)) \
+        .generate_markdown_report()
+    assert "SATURATED" not in md2
+    # primary IS vqa_accuracy -> ranking is BY the column, keep it clean
+    res[0].metrics["vqa_accuracy"] = res[0].metrics["exact_match"] / 3.0
+    ev3 = AblationEvaluator(res, "vqa_accuracy")
+    md3 = AblationReporter(ev3, AblationAnalyzer(ev3)) \
+        .generate_markdown_report()
+    assert "SATURATED" not in md3
+
+
 def test_reporter_outputs(tmp_path):
     ev = AblationEvaluator(_fake_results(), "vqa_accuracy")
     rep = AblationReporter(ev, AblationAnalyzer(ev))

@@ -287,3 +287,87 @@ def test_layer_decay_scales_updates_under_adamw():
     # layer 2 is the deepest -> scale 1.0; layer 0 -> 0.5^2 = 0.25
     assert u2 > 0
     np.testing.assert_allclose(u0 / u2, 0.25, rtol=1e-3)
+
+
+def test_settled_defenses_gate(monkeypatch):
+    """The settled-read/call defenses (axon-tunnel workaround) are gated:
+    off by default on healthy runtimes, forced by VIVQA_SETTLED_READS,
+    auto-on when the axon plugin is the requested platform."""
+    from vivqa_tpu.train.state import (settled_call,
+                                       settled_defenses_enabled,
+                                       settled_host_read,
+                                       settled_params_view)
+
+    monkeypatch.delenv("VIVQA_SETTLED_READS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert settled_defenses_enabled() is False
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert settled_defenses_enabled() is True
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "0")
+    assert settled_defenses_enabled() is False
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "on")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert settled_defenses_enabled() is True
+
+    # disabled -> exactly ONE execution / ONE read
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "0")
+    calls = {"n": 0}
+
+    def fn(x):
+        calls["n"] += 1
+        return x + 1
+
+    out = settled_call(fn, jnp.ones(3))
+    np.testing.assert_array_equal(out, np.full(3, 2.0))
+    assert calls["n"] == 1
+    arr = jnp.arange(4.0)
+    got = settled_host_read(arr)
+    np.testing.assert_array_equal(got, np.arange(4.0))
+    # params view consumes the live buffers directly when disabled
+    params = {"w": jnp.ones((2, 2))}
+    view, host = settled_params_view(params)
+    assert view is params
+    np.testing.assert_array_equal(host["w"], np.ones((2, 2)))
+
+    # enabled -> verification re-executes (2 identical runs) and the
+    # params view is a re-uploaded copy, not the live buffer
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "1")
+    calls["n"] = 0
+    out = settled_call(fn, jnp.ones(3))
+    np.testing.assert_array_equal(out, np.full(3, 2.0))
+    assert calls["n"] == 2
+    view, host = settled_params_view(params)
+    assert view is not params
+    np.testing.assert_array_equal(np.asarray(view["w"]), np.ones((2, 2)))
+
+
+def test_settled_strict_raises_on_nonconvergence(monkeypatch):
+    from vivqa_tpu.train.state import settled_call
+
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "1")
+    monkeypatch.delenv("VIVQA_SETTLED_STRICT", raising=False)
+    counter = {"n": 0}
+
+    def unstable():
+        counter["n"] += 1
+        return jnp.array(float(counter["n"]))
+
+    # non-strict: warns and returns the last value
+    with pytest.warns(UserWarning, match="did not converge"):
+        out = settled_call(unstable, max_tries=3)
+    assert float(out) == counter["n"]
+
+    # strict kwarg raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        settled_call(unstable, max_tries=3, strict=True)
+
+    # strict env var raises too
+    monkeypatch.setenv("VIVQA_SETTLED_STRICT", "1")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        settled_call(unstable, max_tries=3)
+
+    # a NaN-diverged but STABLE value still converges (equal_nan)
+    monkeypatch.setenv("VIVQA_SETTLED_STRICT", "1")
+    nan = jnp.array(np.nan)
+    out = settled_call(lambda: nan, max_tries=3)
+    assert np.isnan(out)

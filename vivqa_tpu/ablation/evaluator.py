@@ -79,9 +79,14 @@ class AblationEvaluator:
         return rows
 
     def ranking(self) -> List[ExperimentResult]:
-        return sorted(self.results,
-                      key=lambda r: r.metrics.get(self.primary, 0.0),
-                      reverse=True)
+        """Primary metric descending, with a deterministic tiebreak
+        (val_loss ascending, then experiment_id) so exact metric ties
+        cannot be broken by result load order."""
+        return sorted(
+            self.results,
+            key=lambda r: (-r.metrics.get(self.primary, 0.0),
+                           r.metrics.get("val_loss", float("inf")),
+                           r.experiment_id))
 
     def deltas_from_baseline(self) -> Dict[str, float]:
         base = self.baseline()

