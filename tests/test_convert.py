@@ -247,3 +247,23 @@ def test_deberta_conversion_parity():
     got = np.asarray(model.apply({"params": params}, jnp.asarray(ids),
                                  jnp.asarray(mask))["tokens"], np.float32)
     np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_graft_pretrained_strict():
+    from vivqa_tpu.models.convert import graft_pretrained
+
+    init = {"visual_encoder": {"a": np.zeros((2, 3)), "b": np.zeros(4)},
+            "head": {"w": np.zeros(5)}}
+    conv = {"a": np.ones((2, 3)), "b": np.ones(4)}
+    out = graft_pretrained(init, "visual_encoder", conv)
+    assert out["visual_encoder"] is conv
+    assert out["head"] is init["head"]          # untouched subtree shared
+    assert init["visual_encoder"]["a"].sum() == 0   # input not mutated
+
+    with pytest.raises(KeyError, match="no tower"):
+        graft_pretrained(init, "nope", conv)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        graft_pretrained(init, "visual_encoder", {"a": np.ones((2, 3))})
+    with pytest.raises(ValueError, match="shape"):
+        graft_pretrained(init, "visual_encoder",
+                         {"a": np.ones((9, 9)), "b": np.ones(4)})

@@ -385,3 +385,138 @@ def test_generative_cli_reference_flag_surface(synth, tmp_path):
     assert cfg.model.text.backbone == "bartpho"
     # answer length agreed between data pipeline and decoder
     assert cfg.model.max_answer_length == cfg.data.max_answer_length == 16
+
+
+def test_pipeline_trains_from_pretrained_backbones(synth, tmp_path):
+    """Round-4 wiring of the last missing reference capability: the
+    pipelines can START FROM pretrained encoder weights (reference
+    model_pipeline.py:303-352, vqa_model.py:83-98). Offline: tiny
+    random-init HF models are saved locally and loaded through the new
+    pretrained_visual/pretrained_text config fields."""
+    torch = pytest.importorskip("torch")
+    from transformers import (BertConfig, BertModel, CLIPVisionConfig,
+                              CLIPVisionModel)
+
+    vis_dir = tmp_path / "hf_vis"
+    txt_dir = tmp_path / "hf_txt"
+    CLIPVisionModel(CLIPVisionConfig(
+        image_size=16, patch_size=8, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, attention_dropout=0.0,
+        dropout=0.0)).save_pretrained(vis_dir)
+    hf_txt = BertModel(BertConfig(
+        vocab_size=512, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=16, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0),
+        add_pooling_layer=False)
+    hf_txt.save_pretrained(txt_dir)
+
+    cfg = VQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth),
+        model=ModelPipelineConfig(
+            model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                                 fusion=FusionConfig(fusion_type="concat",
+                                                     hidden_dim=32,
+                                                     num_heads=2,
+                                                     num_layers=1)),
+            mesh=MeshConfig(model_axis=1),
+            pretrained_visual=str(vis_dir),
+            pretrained_text=str(txt_dir)),
+        training=TrainingPipelineConfig(
+            num_epochs=1,
+            optimizer=OptimizerConfig(learning_rate=5e-3),
+            checkpoint_dir=str(tmp_path / "ck"), log_every=100),
+        output_dir=str(tmp_path / "out"))
+    summary = VQAPipeline(cfg).run()
+    assert len(summary["history"]) == 1
+    assert np.isfinite(summary["history"][0]["train_loss"])
+
+    # The checkpointed towers really started from the converted HF
+    # weights: compare a trained leaf's SHAPE lineage (vocab 512 comes
+    # from HF, not the data tokenizer) and verify the converted token
+    # embedding was the init (training moved it less than re-init would).
+    from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
+    mgr = CheckpointManager(CheckpointConfig(directory=str(tmp_path / "ck")))
+    restored, _ = mgr.restore_best()
+    mgr.close()
+    params = restored["params"] if "params" in restored else restored
+    emb = np.asarray(params["text_encoder"]["token_embed"]["embedding"],
+                     np.float32)
+    want = hf_txt.embeddings.word_embeddings.weight.detach().numpy()
+    assert emb.shape == want.shape == (512, 32)
+    # one epoch of lr 5e-3 moves weights a little; correlation with the
+    # HF init stays near 1, while an independent random init would be ~0
+    corr = np.corrcoef(emb.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9, f"text tower did not start from HF weights ({corr=})"
+    assert "patch_embed" in params["visual_encoder"]
+
+
+def test_pretrained_image_size_mismatch_raises(synth, tmp_path):
+    pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+    vis_dir = tmp_path / "hf_vis"
+    CLIPVisionModel(CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64)).save_pretrained(vis_dir)
+    cfg = VQAPipelineConfig(
+        mode="train", data=_data_cfg(synth),   # data.image_size = 16
+        model=ModelPipelineConfig(
+            model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT),
+            mesh=MeshConfig(model_axis=1),
+            pretrained_visual=str(vis_dir)),
+        training=TrainingPipelineConfig(num_epochs=1,
+                                        checkpoint_dir=str(tmp_path / "ck")),
+        output_dir=str(tmp_path / "out"))
+    with pytest.raises(ValueError, match="image_size"):
+        VQAPipeline(cfg).run()
+
+
+def test_generative_pipeline_from_pretrained(synth, tmp_path):
+    pytest.importorskip("torch")
+    from transformers import (BertConfig, BertModel, CLIPVisionConfig,
+                              CLIPVisionModel)
+    vis_dir = tmp_path / "hf_vis"
+    txt_dir = tmp_path / "hf_txt"
+    CLIPVisionModel(CLIPVisionConfig(
+        image_size=16, patch_size=8, hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        attention_dropout=0.0, dropout=0.0)).save_pretrained(vis_dir)
+    hf_txt = BertModel(BertConfig(
+        vocab_size=512, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=16, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0),
+        add_pooling_layer=False)
+    hf_txt.save_pretrained(txt_dir)
+
+    cfg = GenerativeVQAPipelineConfig(
+        mode="train",
+        data=_data_cfg(synth, generative=True),
+        model=GenerativeVQAConfig(
+            visual=TINY_VIS, text=TINY_TXT, fusion_dim=32, fusion_layers=1,
+            fusion_heads=2, decoder_layers=1, decoder_heads=2,
+            decoder_dim=32, decoder_ff_dim=64, dropout=0.0),
+        training=GenerativeTrainingConfig(
+            num_epochs=1, checkpoint_dir=str(tmp_path / "gck"),
+            optimizer=OptimizerConfig(learning_rate=1e-2), log_every=100),
+        mesh=MeshConfig(model_axis=1),
+        output_dir=str(tmp_path / "gout"),
+        pretrained_visual=str(vis_dir),
+        pretrained_text=str(txt_dir))
+    summary = GenerativeVQAPipeline(cfg).run()
+    assert np.isfinite(summary["history"][0]["train_loss"])
+
+    from vivqa_tpu.train.checkpoint import CheckpointConfig, CheckpointManager
+    mgr = CheckpointManager(CheckpointConfig(directory=str(tmp_path / "gck")))
+    restored, _ = mgr.restore_best()
+    mgr.close()
+    params = restored["params"] if "params" in restored else restored
+    emb = np.asarray(
+        params["question_encoder"]["token_embed"]["embedding"], np.float32)
+    want = hf_txt.embeddings.word_embeddings.weight.detach().numpy()
+    assert emb.shape == want.shape == (512, 32)
+    corr = np.corrcoef(emb.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9, f"question tower did not start from HF ({corr=})"

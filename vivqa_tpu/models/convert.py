@@ -174,17 +174,34 @@ def convert_clip_vision(hf_model, config: VisualEncoderConfig) -> Dict:
 
 def load_pretrained_text_encoder(name_or_path: str,
                                  config: TextEncoderConfig):
-    """AutoModel (local cache only) -> (TextEncoder, params)."""
+    """AutoModel (local cache only) -> (TextEncoder, params).
+
+    Every architecture dimension is derived from the HF config so the
+    returned module's param tree is structurally identical to the
+    converted params — required for grafting into a pipeline-initialized
+    model (graft_pretrained)."""
     from transformers import AutoModel
     from vivqa_tpu.models.encoders.text import TextEncoder
     hf = AutoModel.from_pretrained(name_or_path, local_files_only=True)
     offset = 2 if hf.config.model_type in ("roberta", "phobert",
                                            "xlm-roberta") else 0
+    usable = hf.config.max_position_embeddings - offset
+    if config.max_length > usable:
+        raise ValueError(
+            f"pretrained text encoder '{name_or_path}' has only {usable} "
+            f"usable positions (max_position_embeddings="
+            f"{hf.config.max_position_embeddings}, offset {offset}) but "
+            f"max_length={config.max_length} was requested — reduce "
+            f"data.max_question_length to <= {usable}")
     cfg = config.replace(norm_style="post", activation="gelu",
                          vocab_size=hf.config.vocab_size,
                          hidden_dim=hf.config.hidden_size,
                          num_layers=hf.config.num_hidden_layers,
-                         num_heads=hf.config.num_attention_heads)
+                         num_heads=hf.config.num_attention_heads,
+                         mlp_ratio=(hf.config.intermediate_size
+                                    / hf.config.hidden_size),
+                         type_vocab_size=getattr(hf.config,
+                                                 "type_vocab_size", 1))
     return TextEncoder(cfg), convert_bert(hf, cfg, pos_offset=offset)
 
 
@@ -359,14 +376,68 @@ def load_pretrained_visual_encoder(name_or_path: str,
             layer_scale_init=hf.config.layerscale_value)
         return ViTEncoder(cfg), convert_dinov2(hf, cfg)
     if mt == "clip_vision_model" or mt == "clip":
+        vc = hf.config.vision_config if mt == "clip" else hf.config
         cfg = config.replace(backbone="clip", vit_style="clip",
-                             activation="quick_gelu")
+                             activation="quick_gelu",
+                             image_size=vc.image_size,
+                             patch_size=vc.patch_size,
+                             hidden_dim=vc.hidden_size,
+                             num_layers=vc.num_hidden_layers,
+                             num_heads=vc.num_attention_heads,
+                             mlp_ratio=(vc.intermediate_size
+                                        / vc.hidden_size))
         return ViTEncoder(cfg), convert_clip_vision(hf, cfg)
     if mt == "vit":
         cfg = config.replace(backbone="vit", vit_style="vit",
-                             activation="gelu")
+                             activation="gelu",
+                             image_size=hf.config.image_size,
+                             patch_size=hf.config.patch_size,
+                             hidden_dim=hf.config.hidden_size,
+                             num_layers=hf.config.num_hidden_layers,
+                             num_heads=hf.config.num_attention_heads,
+                             mlp_ratio=(hf.config.intermediate_size
+                                        / hf.config.hidden_size))
         return ViTEncoder(cfg), convert_vit(hf, cfg)
     raise ValueError(f"no converter for model_type '{mt}'")
+
+
+def graft_pretrained(params: Dict, tower: str, converted: Dict,
+                     log=None) -> Dict:
+    """Replace ``params[tower]`` with converted pretrained weights.
+
+    Strict: the converted tree must have exactly the structure and leaf
+    shapes of the initialized tower — a mismatch means the model config
+    does not describe the pretrained architecture, and silently training
+    from a half-grafted tower would be worse than failing. Returns a NEW
+    top-level dict (subtrees shared). This is the pipeline-side half of
+    the reference's pretrained-backbone initialization
+    (src/core/model_pipeline.py:303-352, vqa_model.py:83-98)."""
+    import jax
+    if tower not in params:
+        raise KeyError(f"model has no tower '{tower}' "
+                       f"(have: {sorted(params)})")
+    init_tree = params[tower]
+    want = jax.tree.structure(init_tree)
+    got = jax.tree.structure(converted)
+    if want != got:
+        raise ValueError(
+            f"pretrained '{tower}' tree structure mismatch:\n"
+            f"  initialized: {want}\n  converted:   {got}")
+    for path, (a, b) in zip(
+            jax.tree_util.tree_leaves_with_path(init_tree),
+            zip(jax.tree.leaves(init_tree), jax.tree.leaves(converted))):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"pretrained '{tower}' leaf "
+                f"{jax.tree_util.keystr(path[0])}: initialized shape "
+                f"{np.shape(a)} != converted {np.shape(b)}")
+    out = dict(params)
+    out[tower] = converted
+    if log is not None:
+        n = sum(int(np.size(x)) for x in jax.tree.leaves(converted))
+        log.success(f"grafted pretrained weights into '{tower}' "
+                    f"({n:,} params)")
+    return out
 
 
 def convert_deberta(hf_model, config) -> Dict:

@@ -49,6 +49,14 @@ class GenerativeVQAPipelineConfig(ConfigBase):
     resume: str = ""
     use_resource_manager: bool = False
     seed: int = 42
+    # HF name-or-path of pretrained towers (converted via
+    # models/convert.py, grafted over the random init). Counterpart of
+    # the reference's CLIP-ViT + PhoBERT encoders
+    # (src/modeling/meta_arch/generative_vqa_model.py:119-190). With
+    # pretrained_text, the question tokenizer should be the matching HF
+    # tokenizer (data.tokenizer_name) so vocab ids agree.
+    pretrained_visual: str = ""
+    pretrained_text: str = ""
 
 
 class GenerativeVQAPipeline:
@@ -77,6 +85,37 @@ class GenerativeVQAPipeline:
             text=cfg.model.text.replace(
                 max_length=data.max_question_length,
                 vocab_size=tok.vocab_size))
+
+        # pretrained towers: re-derive the encoder sub-configs from the
+        # HF architecture, keep the converted weights for grafting after
+        # init (reference generative_vqa_model.py:119-190)
+        pre_visual = pre_text = None
+        if cfg.pretrained_visual:
+            from vivqa_tpu.models.convert import load_pretrained_visual_encoder
+            enc, pre_visual = load_pretrained_visual_encoder(
+                cfg.pretrained_visual, model_cfg.visual)
+            if enc.config.image_size != data.image_size:
+                raise ValueError(
+                    f"pretrained visual encoder expects image_size="
+                    f"{enc.config.image_size} but the data pipeline "
+                    f"produces {data.image_size} — set data.image_size "
+                    f"to match")
+            model_cfg = model_cfg.replace(visual=enc.config)
+            self.log.success(f"pretrained visual: {cfg.pretrained_visual}")
+        if cfg.pretrained_text:
+            from vivqa_tpu.models.convert import load_pretrained_text_encoder
+            enc, pre_text = load_pretrained_text_encoder(
+                cfg.pretrained_text, model_cfg.text)
+            enc_cfg = enc.config.replace(
+                max_length=data.max_question_length)
+            if enc_cfg.vocab_size != tok.vocab_size:
+                self.log.warning(
+                    f"pretrained text encoder vocab "
+                    f"({enc_cfg.vocab_size}) != question tokenizer vocab "
+                    f"({tok.vocab_size}) — use the matching HF tokenizer "
+                    f"(data.tokenizer_name) or ids will not line up")
+            model_cfg = model_cfg.replace(text=enc_cfg)
+            self.log.success(f"pretrained text: {cfg.pretrained_text}")
         # knowledge/RAG stage: retrieved contexts become extra memory
         # tokens for the decoder (north-star config 5)
         provider = None
@@ -114,6 +153,14 @@ class GenerativeVQAPipeline:
                                                jnp.int32)}
         params = model.init({"params": rng, "router": rng}, px, q, d,
                             **know)["params"]
+        if pre_visual is not None or pre_text is not None:
+            from vivqa_tpu.models.convert import graft_pretrained
+            if pre_visual is not None:
+                params = graft_pretrained(params, "visual_encoder",
+                                          pre_visual, self.log)
+            if pre_text is not None:
+                params = graft_pretrained(params, "question_encoder",
+                                          pre_text, self.log)
         self._log_architecture(model_cfg, params)
         if cfg.resume:
             from vivqa_tpu.train.checkpoint import (CheckpointConfig,
@@ -293,6 +340,12 @@ def build_argparser() -> argparse.ArgumentParser:
     m = p.add_argument_group("model")
     m.add_argument("--visual-backbone", dest="model.visual.backbone")
     m.add_argument("--text-encoder", dest="model.text.backbone")
+    m.add_argument("--pretrained-visual", dest="pretrained_visual",
+                   help="HF name-or-path: init the visual tower from "
+                        "converted pretrained weights")
+    m.add_argument("--pretrained-text", dest="pretrained_text",
+                   help="HF name-or-path: init the question tower from "
+                        "converted pretrained weights")
     m.add_argument("--hidden-size", dest="_hidden_size", type=int,
                    help="fusion AND decoder width (reference alias field)")
     m.add_argument("--num-decoder-layers", dest="model.decoder_layers",

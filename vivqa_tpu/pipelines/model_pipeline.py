@@ -33,6 +33,14 @@ class ModelPipelineConfig(ConfigBase):
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     seed: int = 42
     validate_forward: bool = True
+    # HF name-or-path of pretrained towers to initialize from (converted
+    # through models/convert.py; the encoder sub-configs are re-derived
+    # from the HF architecture). Empty = random init. Counterpart of the
+    # reference's AutoModel-backed encoders (src/core/
+    # model_pipeline.py:303, vqa_model.py:83-98); compose with
+    # model.visual.freeze / train.strategies for freezing.
+    pretrained_visual: str = ""
+    pretrained_text: str = ""
 
 
 @dataclasses.dataclass
@@ -59,10 +67,39 @@ class ModelPipeline:
                     f"{mesh.devices.size} devices "
                     f"({mesh.devices.flat[0].platform})")
 
-        # 2. config assembly
+        # 2. config assembly — pretrained towers re-derive their encoder
+        # sub-config from the HF architecture so the initialized param
+        # tree matches the converted weights exactly
         model_cfg = cfg.model
         if num_answers is not None:
             model_cfg = model_cfg.replace(num_answers=num_answers)
+        pre_visual = pre_text = None
+        if cfg.pretrained_visual:
+            from vivqa_tpu.models.convert import load_pretrained_visual_encoder
+            enc, pre_visual = load_pretrained_visual_encoder(
+                cfg.pretrained_visual, model_cfg.visual)
+            if (enc.config.backbone in ("vit", "clip", "dino")
+                    and enc.config.image_size
+                    != model_cfg.visual.image_size):
+                raise ValueError(
+                    f"pretrained visual encoder expects image_size="
+                    f"{enc.config.image_size} but the pipeline is "
+                    f"configured for {model_cfg.visual.image_size} — "
+                    f"set data.image_size to match")
+            model_cfg = model_cfg.replace(visual=enc.config)
+            log.success(f"pretrained visual: {cfg.pretrained_visual} "
+                        f"({enc.config.backbone}, "
+                        f"{enc.config.num_layers}l x "
+                        f"{enc.config.hidden_dim}d)")
+        if cfg.pretrained_text:
+            from vivqa_tpu.models.convert import load_pretrained_text_encoder
+            enc, pre_text = load_pretrained_text_encoder(
+                cfg.pretrained_text, model_cfg.text)
+            model_cfg = model_cfg.replace(text=enc.config)
+            log.success(f"pretrained text: {cfg.pretrained_text} "
+                        f"({enc.config.num_layers}l x "
+                        f"{enc.config.hidden_dim}d, "
+                        f"vocab {enc.config.vocab_size})")
         log.success(f"step 2/7 config: visual={model_cfg.visual.backbone} "
                     f"text={model_cfg.text.backbone} "
                     f"fusion={model_cfg.fusion.fusion_type} "
@@ -90,6 +127,16 @@ class ModelPipeline:
         params = model.init({"params": rng, "router": rng}, px, ids,
                             **know)["params"]
         log.success("step 4/7 params initialized")
+
+        # 4b. graft pretrained tower weights over the random init
+        if pre_visual is not None or pre_text is not None:
+            from vivqa_tpu.models.convert import graft_pretrained
+            if pre_visual is not None:
+                params = graft_pretrained(params, "visual_encoder",
+                                          pre_visual, log)
+            if pre_text is not None:
+                params = graft_pretrained(params, "text_encoder",
+                                          pre_text, log)
 
         # 5. param counts
         counts = count_parameters(params)

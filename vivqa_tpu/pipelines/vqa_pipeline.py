@@ -180,6 +180,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image-dir", "--images-dir", dest="data.image_dir")
     p.add_argument("--batch-size", dest="data.batch_size", type=int)
     p.add_argument("--image-size", dest="data.image_size", type=int)
+    p.add_argument("--max-question-length",
+                   dest="data.max_question_length", type=int)
     p.add_argument("--epochs", dest="training.num_epochs", type=int)
     p.add_argument("--lr", "--learning-rate",
                    dest="training.optimizer.learning_rate", type=float)
@@ -193,6 +195,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--final-dropout", dest="training.final_dropout",
                    type=float)
     p.add_argument("--fusion", dest="model.model.fusion.fusion_type")
+    p.add_argument("--pretrained-visual", dest="model.pretrained_visual",
+                   help="HF name-or-path: init the visual tower from "
+                        "converted pretrained weights")
+    p.add_argument("--pretrained-text", dest="model.pretrained_text",
+                   help="HF name-or-path: init the text tower from "
+                        "converted pretrained weights")
     p.add_argument("--visual-backbone", dest="model.model.visual.backbone")
     p.add_argument("--text-backbone", "--text-encoder",
                    dest="model.model.text.backbone")
