@@ -342,3 +342,83 @@ def test_mini_ablation_end_to_end(tmp_path, mesh8):
     # resume: re-running skips everything
     results2 = runner.run(selected=[0, 1, 2])
     assert len(results2) == len(results)
+
+
+def test_baseline_prefers_default_router():
+    def r(eid, acc):
+        return ExperimentResult(eid, "completed", {"vqa_accuracy": acc},
+                                [], 1.0)
+    # full__soft loaded FIRST: baseline must still be the default-router
+    # full run (the suffix most experiments share), not load order
+    res = [r("full__soft_k0_lb0.01", 0.55),
+           r("full__noisy_topk_k2_lb0.01", 0.60),
+           r("leave_one_out_0__noisy_topk_k2_lb0.01", 0.52),
+           r("leave_one_out_1__noisy_topk_k2_lb0.01", 0.61),
+           r("no_moe__noisy_topk_k2_lb0.01", 0.50)]
+    for perm in (res, res[::-1]):
+        ev = AblationEvaluator(perm, "vqa_accuracy")
+        assert ev.baseline().experiment_id == "full__noisy_topk_k2_lb0.01"
+    # single full run: returned regardless of suffix
+    ev1 = AblationEvaluator([r("full__soft_k0_lb0.01", 0.5)],
+                            "vqa_accuracy")
+    assert ev1.baseline().experiment_id == "full__soft_k0_lb0.01"
+
+
+def test_mask_consistency_check():
+    """A correct_mask whose mean disagrees with the reported exact_match
+    must be discarded (it was computed through a different code path
+    than the metric — McNemar on it would be garbage)."""
+    from vivqa_tpu.ablation.trainer import AblationTrainer
+
+    class _Log:
+        def __init__(self):
+            self.warned = []
+
+        def warning(self, msg, *a):
+            self.warned.append(msg % a if a else msg)
+
+    t = AblationTrainer.__new__(AblationTrainer)
+    t.log = _Log()
+    good = [1] * 82 + [0] * 18
+    assert t.check_mask_consistency(good, 0.82, "x") is True
+    assert not t.log.warned
+    bad = [1] * 44 + [0] * 56
+    assert t.check_mask_consistency(bad, 0.82, "x") is False
+    assert t.log.warned and "DISCARDING" in t.log.warned[0]
+    # absent mask / metric -> vacuously consistent
+    assert t.check_mask_consistency(None, 0.82) is True
+    assert t.check_mask_consistency(good, None) is True
+
+
+def test_clopper_pearson_and_delta_ci():
+    from vivqa_tpu.ablation.evaluator import (clopper_pearson,
+                                              discordant_delta_ci)
+    # textbook values: k=0 -> lower 0, upper 1-(alpha/2)^(1/n)
+    lo, hi = clopper_pearson(0, 10)
+    assert lo == 0.0
+    assert np.isclose(hi, 1 - 0.025 ** (1 / 10), atol=1e-6)
+    # k=n -> symmetric
+    lo2, hi2 = clopper_pearson(10, 10)
+    assert hi2 == 1.0 and np.isclose(lo2, 1 - hi, atol=1e-6)
+    # coverage sanity: k=5, n=10 is symmetric around 0.5
+    lo3, hi3 = clopper_pearson(5, 10)
+    assert np.isclose(lo3 + hi3, 1.0, atol=1e-6)
+    assert lo3 < 0.5 < hi3
+
+    # delta CI: zero discordant -> rule-of-three bound, symmetric
+    lo, hi = discordant_delta_ci(0, 0, 204)
+    assert np.isclose(hi, 1 - 0.05 ** (1 / 204), atol=1e-6)
+    assert lo == -hi
+    # b=c -> CI straddles zero symmetrically
+    lo, hi = discordant_delta_ci(3, 3, 204)
+    assert lo < 0 < hi and np.isclose(lo, -hi, atol=1e-9)
+    # extreme asymmetry -> CI excludes zero
+    lo, hi = discordant_delta_ci(12, 0, 100)
+    assert lo > 0
+    # evaluator threads it through paired_comparisons
+    res = _fake_results()
+    res[0].correct_mask = [1] * 60 + [0] * 40
+    res[2].correct_mask = [1] * 48 + [0] * 12 + [0] * 40
+    ev = AblationEvaluator(res, "vqa_accuracy")
+    p = ev.paired_comparisons()[0]
+    assert p["delta_ci95"][0] > 0          # significant effect: CI > 0

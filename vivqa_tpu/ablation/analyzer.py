@@ -201,6 +201,24 @@ class AblationAnalyzer:
                 f"(baseline-only correct {top['baseline_only_correct']}, "
                 f"ablated-only correct {top['ablated_only_correct']}, "
                 f"p={top['p_value']:.4f}).")
+            loo = [p for p in paired
+                   if re.match(r"leave_one_out_\d+__", p["experiment_id"])
+                   and p.get("delta_ci95")]
+            if loo and not any(p["significant"] for p in loo):
+                # an honestly POWERED null: the paired CIs bound how
+                # large an effect could have hidden at this n
+                hi = max(p["delta_ci95"][1] for p in loo)
+                lo = min(p["delta_ci95"][0] for p in loo)
+                disc = max(p["baseline_only_correct"]
+                           + p["ablated_only_correct"] for p in loo)
+                findings.append(
+                    f"Powered null: every leave-one-out model agrees "
+                    f"with the baseline on all but <= {disc} of "
+                    f"{self.ev.noise_floor()['n_eval'] if self.ev.noise_floor() else '?'} "
+                    f"val samples; the paired 95% CIs bound every "
+                    f"expert's importance to [{lo:+.4f}, {hi:+.4f}] "
+                    f"exact-match — an expert worth more than "
+                    f"{hi:.3f} would have been detected.")
         contribs = self.expert_contributions()
         judged = [c for c in contribs if c.significant is not None]
         if judged:
@@ -225,14 +243,27 @@ class AblationAnalyzer:
                 + ("." if n_sig else
                    " — expert importance does NOT separate from noise at "
                    "this val-set size."))
+        def _sig_note(idxs):
+            if not judged:
+                return ""
+            insig = [i for i in idxs
+                     for c in contribs
+                     if c.expert_index == i and not c.significant]
+            if insig == idxs:
+                return " (nominal trend — NOT significant)"
+            if insig:
+                return f" (not significant: {insig})"
+            return " (significant)"
+
         ess = [c.expert_index for c in contribs
                if c.classification == "essential"]
         red = [c.expert_index for c in contribs
                if c.classification == "redundant"]
         if ess:
-            findings.append(f"Essential experts: {ess}.")
+            findings.append(f"Essential experts: {ess}{_sig_note(ess)}.")
         if red:
-            findings.append(f"Redundant experts (removal helps): {red}.")
+            findings.append(f"Redundant experts (removal helps): "
+                            f"{red}{_sig_note(red)}.")
         syn = self.pairwise_synergies()
         if syn:
             s = syn[0]

@@ -26,6 +26,52 @@ def get_metrics_for_model_type(model_type: str):
             else CLASSIFICATION_METRICS)
 
 
+def _binom_cdf(k: int, n: int, p: float) -> float:
+    return sum(math.comb(n, i) * p ** i * (1 - p) ** (n - i)
+               for i in range(k + 1))
+
+
+def clopper_pearson(k: int, n: int, alpha: float = 0.05):
+    """Exact (Clopper-Pearson) two-sided CI on a binomial proportion,
+    by bisection on the binomial CDF (no scipy)."""
+    if n == 0:
+        return 0.0, 1.0
+
+    def _bisect(f, lo, hi, rising):
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if (f(mid) > 0) == rising:
+                hi = mid
+            else:
+                lo = mid
+        return (lo + hi) / 2
+
+    lower = 0.0 if k == 0 else _bisect(
+        lambda p: _binom_cdf(k - 1, n, p) - (1 - alpha / 2), 0.0, 1.0,
+        False)
+    upper = 1.0 if k == n else _bisect(
+        lambda p: _binom_cdf(k, n, p) - alpha / 2, 0.0, 1.0, False)
+    return lower, upper
+
+
+def discordant_delta_ci(b: int, c: int, n: int, alpha: float = 0.05):
+    """95% CI on the PAIRED accuracy difference (b - c) / n.
+
+    Conditions on the observed discordant count m = b + c (standard for
+    McNemar-style inference): exact CI on b/m, mapped to the delta scale
+    by delta = (2*b/m - 1) * m/n. With m = 0 the delta is exactly 0 but
+    the discordance RATE is still uncertain — bound it by the exact
+    one-sided limit 1 - alpha**(1/n) ("rule of three")."""
+    m = b + c
+    if n == 0:
+        return 0.0, 0.0
+    if m == 0:
+        bound = 1 - alpha ** (1.0 / n)
+        return -bound, bound
+    lo, hi = clopper_pearson(b, m, alpha)
+    return (2 * lo - 1) * m / n, (2 * hi - 1) * m / n
+
+
 def mcnemar_exact_p(b: int, c: int) -> float:
     """Two-sided exact McNemar p-value from the discordant-pair counts
     (b = first-only-correct, c = second-only-correct): binomial tail of
@@ -62,10 +108,25 @@ class AblationEvaluator:
         self.by_id = {r.experiment_id: r for r in self.results}
 
     def baseline(self) -> Optional[ExperimentResult]:
+        """The full-expert run under the study's DEFAULT router — not
+        just any ``full__`` result. When a router-swap experiment (e.g.
+        ``full__soft_...``) is present, load order must not decide which
+        run anchors importances and paired tests: prefer the full run
+        whose router suffix is the one most experiments share (the
+        matrix gives every expert ablation the default router)."""
+        fulls = [r for r in self.results
+                 if r.experiment_id.startswith("full__")]
+        if not fulls:
+            return None
+        if len(fulls) == 1:
+            return fulls[0]
+        suffix_counts: Dict[str, int] = {}
         for r in self.results:
-            if r.experiment_id.startswith("full__"):
-                return r
-        return None
+            suffix = r.experiment_id.split("__", 1)[-1]
+            suffix_counts[suffix] = suffix_counts.get(suffix, 0) + 1
+        return max(fulls, key=lambda r: (
+            suffix_counts.get(r.experiment_id.split("__", 1)[-1], 0),
+            r.experiment_id))
 
     def metric_table(self) -> List[Dict]:
         metrics = get_metrics_for_model_type(self.model_type)
@@ -128,10 +189,12 @@ class AblationEvaluator:
             b = sum(1 for x, y in zip(bm, cm) if x and not y)
             c = sum(1 for x, y in zip(bm, cm) if not x and y)
             p = mcnemar_exact_p(b, c)
+            lo, hi = discordant_delta_ci(b, c, len(bm))
             out.append({"experiment_id": r.experiment_id,
                         "baseline_only_correct": b,
                         "ablated_only_correct": c,
                         "delta": (sum(bm) - sum(cm)) / len(bm),
+                        "delta_ci95": [round(lo, 4), round(hi, 4)],
                         "p_value": p,
                         "significant": p < 0.05})
         return sorted(out, key=lambda d: d["p_value"])

@@ -79,14 +79,16 @@ class AblationReporter:
                       "(paired — far tighter than the independent bound "
                       "above).", "",
                       "| experiment | baseline-only ✓ | ablated-only ✓ "
-                      "| delta | p | significant |",
-                      "|---|---|---|---|---|---|"]
+                      "| delta | delta 95% CI | p | significant |",
+                      "|---|---|---|---|---|---|---|"]
             for p in paired:
+                ci = p.get("delta_ci95")
+                ci_s = (f"[{ci[0]:+.4f}, {ci[1]:+.4f}]" if ci else "-")
                 lines.append(
                     f"| `{p['experiment_id']}` "
                     f"| {p['baseline_only_correct']} "
                     f"| {p['ablated_only_correct']} | {p['delta']:+.4f} "
-                    f"| {p['p_value']:.4f} "
+                    f"| {ci_s} | {p['p_value']:.4f} "
                     f"| {'yes' if p['significant'] else 'no'} |")
             lines.append("")
 

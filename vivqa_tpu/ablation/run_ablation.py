@@ -246,7 +246,8 @@ def main(argv=None):
     trainer = AblationTrainer(cfg, base, data_out, mesh)
     runner = AblationRunner(cfg, trainer)
     if args.backfill_masks:
-        return runner.backfill_masks(selected=selected)
+        # --rerun forces recomputation of masks that already exist
+        return runner.backfill_masks(selected=selected, force=args.rerun)
     return runner.run(selected=selected, rerun=args.rerun,
                       resume=args.resume)
 

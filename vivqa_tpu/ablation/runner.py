@@ -88,9 +88,12 @@ class AblationRunner:
         AblationReporter(ev, an, self.config.expert_label).save_all_reports(
             self.out / "reports")
 
-    def backfill_masks(self, selected: Optional[Sequence[int]] = None):
+    def backfill_masks(self, selected: Optional[Sequence[int]] = None,
+                       force: bool = False):
         """Fill ``correct_mask`` into completed result JSONs from saved
-        checkpoints (no retraining), then regenerate reports."""
+        checkpoints (no retraining), then regenerate reports. ``force``
+        recomputes masks that already exist (e.g. after a mask-path
+        fix)."""
         matrix = self.config.generate_experiment_matrix()
         if selected:
             matrix = [matrix[i] for i in selected if 0 <= i < len(matrix)]
@@ -98,16 +101,21 @@ class AblationRunner:
         updated = 0
         for exp in matrix:
             r = completed.get(exp.experiment_id)
-            if r is None or r.correct_mask:
+            if r is None or (r.correct_mask and not force):
                 continue
             self.log.info("backfilling mask for %s", exp.experiment_id)
             try:
-                r.correct_mask = self.trainer.backfill_correct_mask(exp)
+                mask = self.trainer.backfill_correct_mask(exp)
             except Exception as e:  # noqa: BLE001
                 self.log.warning("backfill failed for %s: %s",
                                  exp.experiment_id, e)
                 continue
-            if r.correct_mask:
+            if mask and not self.trainer.check_mask_consistency(
+                    mask, r.metrics.get("exact_match"),
+                    exp.experiment_id):
+                mask = None
+            if mask:
+                r.correct_mask = mask
                 self._save_result(r)
                 updated += 1
         self.log.info("backfilled %d experiments", updated)

@@ -190,18 +190,41 @@ class AblationTrainer:
         # upload once, not once per val batch
         params = jax.device_put(params)
         m = jnp.asarray(mask) if mask else None
-        fwd = jax.jit(lambda p, px, q, em: model.apply(
-            {"params": p}, px, q, expert_mask=em,
+        # attention_mask MUST ride along: without it padded question
+        # tokens attend and predictions diverge from the reported eval
+        # (observed: mask mean 0.29-0.44 vs exact_match 0.82 before this
+        # was caught by the consistency check below)
+        fwd = jax.jit(lambda p, px, q, am, em: model.apply(
+            {"params": p}, px, q, am, expert_mask=em,
             deterministic=True)["logits"])
         bits = []
         for batch in self.data.val_loader:
             logits = fwd(params, jnp.asarray(batch["pixel_values"]),
-                         jnp.asarray(batch["input_ids"]), m)
+                         jnp.asarray(batch["input_ids"]),
+                         jnp.asarray(batch["attention_mask"]), m)
             nv = batch.get("_num_valid", len(batch["labels"]))
             preds = np.asarray(logits).argmax(-1)[:nv]
             labels = np.asarray(batch["labels"])[:nv]
             bits.extend((preds == labels).astype(int).tolist())
         return bits
+
+    def check_mask_consistency(self, correct_mask, exact_match,
+                               experiment_id=""):
+        """The per-sample mask and the reported exact_match describe the
+        SAME params on the SAME val set — their means must agree. A gap
+        means the mask was computed through a different code path than
+        the metric (paired tests built on it would be garbage)."""
+        if not correct_mask or exact_match is None:
+            return True
+        gap = abs(sum(correct_mask) / len(correct_mask) - exact_match)
+        if gap > 0.02:
+            self.log.warning(
+                f"correct_mask mean {sum(correct_mask)/len(correct_mask):.4f} "
+                f"disagrees with exact_match {exact_match:.4f} "
+                f"({experiment_id}) — DISCARDING the mask (paired tests "
+                f"must not run on inconsistent data)")
+            return False
+        return True
 
     def _generative_mask_from_params(self, model, params, mask):
         """Per-sample exact match of the greedy KV-cached decode against
@@ -303,6 +326,9 @@ class AblationTrainer:
                 except (AttributeError, TypeError):
                     pass
                 self._save_epoch_results(eid, history)
+                if not self.check_mask_consistency(
+                        correct_mask, final.get("exact_match"), eid):
+                    correct_mask = None
                 return ExperimentResult(
                     experiment_id=eid, status="completed", metrics=final,
                     history=history, wall_seconds=time.time() - t0,
