@@ -32,6 +32,12 @@ def main():
     n = int(os.environ.get("CONV_SAMPLES", 256))
     epochs = int(os.environ.get("CONV_EPOCHS", 30))
     lr = float(os.environ.get("CONV_LR", 3e-4))
+    # Full-augmentation spot-check knobs (VERDICT r3 #7): CONV_MIX_MODE
+    # (none|mixup|cutmix|both), CONV_TEXT_AUG (probability),
+    # CONV_DROPOUT_SCHEDULE (""|linear|cosine).
+    mix_mode = os.environ.get("CONV_MIX_MODE", "none")
+    text_aug = float(os.environ.get("CONV_TEXT_AUG", 0.0))
+    drop_sched = os.environ.get("CONV_DROPOUT_SCHEDULE", "")
     with tempfile.TemporaryDirectory() as d:
         csv, imgs = generate_synthetic_vivqa(d, n=n, image_size=64,
                                              learnable=True)
@@ -40,7 +46,8 @@ def main():
             data=DataPipelineConfig(
                 csv_path=str(csv), image_dir=str(imgs), image_size=64,
                 max_question_length=12, batch_size=32,
-                augmentation_strength="light"),
+                augmentation_strength="light",
+                text_augmentation=text_aug),
             model=ModelPipelineConfig(
                 model=VQAModelConfig(
                     visual=VisualEncoderConfig(image_size=64, patch_size=8,
@@ -54,6 +61,8 @@ def main():
                 mesh=MeshConfig(model_axis=1)),
             training=TrainingPipelineConfig(
                 num_epochs=epochs,
+                mix_mode=mix_mode,
+                dropout_schedule=drop_sched,
                 optimizer=OptimizerConfig(learning_rate=lr,
                                           weight_decay=0.0),
                 scheduler=SchedulerConfig(name="warmup_cosine",
@@ -69,7 +78,7 @@ def main():
     loss_curve = [round(h["train_loss"], 4) for h in hist]
     # "train" exact-match proxy: final-epoch val EM on the overfit corpus
     best_em = max(em_curve)
-    print(json.dumps({
+    out = {
         "metric": "convergence_val_exact_match",
         "value": best_em,
         "unit": "exact-match (best epoch, held-out split)",
@@ -77,7 +86,12 @@ def main():
         "val_em_curve": em_curve,
         "train_loss_curve": loss_curve,
         "vqa_accuracy_best": max(h["vqa_accuracy"] for h in hist),
-    }))
+    }
+    if mix_mode != "none" or text_aug > 0 or drop_sched:
+        out["augmentation"] = {"mix_mode": mix_mode,
+                               "text_augmentation": text_aug,
+                               "dropout_schedule": drop_sched}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
