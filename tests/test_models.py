@@ -146,29 +146,37 @@ def test_vqa_model_grads_flow(rng):
     assert any(n > 0 for n in norms)
 
 
-def test_fused_self_attention_decode_cache(rng):
-    """FusedSelfAttention's decode cache must reproduce the full causal
-    forward token-by-token (flax cache contract: zero-init at full
-    length, then single-token writes at cache_index)."""
+def test_cross_attention_layer_decode_matches_full(rng):
+    """CrossAttentionLayer's decode path (flax self-attn cache + cached
+    context K/V) must reproduce the full causal teacher-forcing forward
+    token-by-token."""
     import flax.linen as nn
-    from vivqa_tpu.models.layers import FusedSelfAttention
+    from vivqa_tpu.models.layers import CrossAttentionLayer
 
-    B, L, D, H = 2, 6, 32, 4
+    B, L, Lc, D, H = 2, 6, 5, 32, 4
     x = jax.random.normal(rng, (B, L, D), jnp.float32)
-    mod_full = FusedSelfAttention(num_heads=H, dtype=jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(7), (B, Lc, D), jnp.float32)
+
+    class Dec(nn.Module):
+        @nn.compact
+        def __call__(self, x, ctx, self_mask=None, decode=False):
+            return CrossAttentionLayer(H, 64, 0.0, jnp.float32)(
+                x, ctx, self_mask=self_mask, deterministic=True,
+                decode=decode)
+
+    m = Dec()
     causal = nn.make_causal_mask(jnp.zeros((B, L), jnp.int32),
                                  dtype=jnp.bool_)
-    p = mod_full.init(rng, x, mask=causal)
-    full = mod_full.apply(p, x, mask=causal)
+    p = m.init(rng, x, ctx, self_mask=causal)
+    full = m.apply(p, x, ctx, self_mask=causal)
 
-    mod_dec = FusedSelfAttention(num_heads=H, dtype=jnp.float32,
-                                 decode=True)
-    _, vars_ = mod_dec.apply(p, jnp.zeros_like(x), mutable=["cache"])
+    _, vars_ = m.apply(p, jnp.zeros_like(x), ctx, decode=True,
+                       mutable=["cache"])
     cache = vars_["cache"]
     outs = []
     for t in range(L):
-        o, vars_ = mod_dec.apply({**p, "cache": cache}, x[:, t:t + 1],
-                                 mutable=["cache"])
+        o, vars_ = m.apply({**p, "cache": cache}, x[:, t:t + 1], ctx,
+                           decode=True, mutable=["cache"])
         cache = vars_["cache"]
         outs.append(o)
     inc = jnp.concatenate(outs, axis=1)
@@ -176,24 +184,26 @@ def test_fused_self_attention_decode_cache(rng):
                                atol=1e-5)
 
 
-def test_fused_cross_attention_caches_context_kv(rng):
-    """In decode mode the context K/V projection is computed ONCE at
+def test_cached_cross_attention_caches_context_kv(rng):
+    """In decode mode the context K/V projections are computed ONCE at
     cache init and reused — decode steps must not depend on recomputing
-    it (we verify by corrupting the context after init)."""
-    from vivqa_tpu.models.layers import FusedCrossAttention
+    them (verified by corrupting the context after init). Param layout
+    must equal flax MHDPA's (query/key/value/out)."""
+    from vivqa_tpu.models.layers import CachedCrossAttention
 
     B, L, Lc, D, H = 2, 3, 5, 32, 4
     x = jax.random.normal(rng, (B, L, D), jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(7), (B, Lc, D), jnp.float32)
-    mod = FusedCrossAttention(num_heads=H, dtype=jnp.float32)
+    mod = CachedCrossAttention(num_heads=H, dtype=jnp.float32)
     p = mod.init(rng, x, ctx)
+    assert set(p["params"]) == {"query", "key", "value", "out"}
+    assert p["params"]["query"]["kernel"].shape == (D, H, D // H)
     ref = mod.apply(p, x, ctx)
 
-    dec = FusedCrossAttention(num_heads=H, dtype=jnp.float32, decode=True)
+    dec = CachedCrossAttention(num_heads=H, dtype=jnp.float32, decode=True)
     _, vars_ = dec.apply(p, x, ctx, mutable=["cache"])
     cache = vars_["cache"]
-    assert "cached_ckv" in cache
-    # context K/V now cached: a corrupted context must not change output
+    assert "cached_ckey" in cache and "cached_cvalue" in cache
     out, _ = dec.apply({**p, "cache": cache}, x, ctx * 1e3,
                        mutable=["cache"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

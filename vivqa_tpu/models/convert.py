@@ -43,16 +43,6 @@ def _attn_out(w, b, heads):
     return _t(w).T.reshape(heads, D // heads, D), _t(b)
 
 
-def _fused_attn(qk, qb, kk, kb, vk, vb, ok, ob) -> Dict:
-    """Stack per-head q/k/v kernels (D, H, Dh) into the fused-QKV layout
-    of layers.FusedSelfAttention: kernel (D, 3, H, Dh), bias (3, H, Dh).
-    Pure reparametrization — every output element keeps the same fan-in-D
-    dot product, so HF parity is exact."""
-    return {"qkv": {"kernel": np.stack([qk, kk, vk], axis=1),
-                    "bias": np.stack([qb, kb, vb], axis=0)},
-            "out": {"kernel": ok, "bias": ob}}
-
-
 def _linear(w, b=None):
     out = {"kernel": _t(w).T}
     if b is not None:
@@ -96,7 +86,10 @@ def convert_bert(hf_model, config: TextEncoderConfig,
         ok, ob = _attn_out(layer.attention.output.dense.weight,
                            layer.attention.output.dense.bias, H)
         params[f"layers_{i}"] = {
-            "self_attn": _fused_attn(qk, qb, kk, kb, vk, vb, ok, ob),
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
             "ln1": _ln(layer.attention.output.LayerNorm),
             "mlp": {"wi": _linear(layer.intermediate.dense.weight,
                                   layer.intermediate.dense.bias),
@@ -129,7 +122,10 @@ def convert_vit(hf_model, config: VisualEncoderConfig) -> Dict:
         ok, ob = _attn_out(layer.attention.output.dense.weight,
                            layer.attention.output.dense.bias, H)
         params[f"layers_{i}"] = {
-            "self_attn": _fused_attn(qk, qb, kk, kb, vk, vb, ok, ob),
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
             "ln1": _ln(layer.layernorm_before),
             "ln2": _ln(layer.layernorm_after),
             "mlp": {"wi": _linear(layer.intermediate.dense.weight,
@@ -164,7 +160,10 @@ def convert_clip_vision(hf_model, config: VisualEncoderConfig) -> Dict:
         vk, vb = _attn_in(sa.v_proj.weight, sa.v_proj.bias, H)
         ok, ob = _attn_out(sa.out_proj.weight, sa.out_proj.bias, H)
         params[f"layers_{i}"] = {
-            "self_attn": _fused_attn(qk, qb, kk, kb, vk, vb, ok, ob),
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
             "ln1": _ln(layer.layer_norm1),
             "ln2": _ln(layer.layer_norm2),
             "mlp": {"wi": _linear(layer.mlp.fc1.weight, layer.mlp.fc1.bias),
@@ -326,7 +325,10 @@ def convert_dinov2(hf_model, config: VisualEncoderConfig) -> Dict:
         ok, ob = _attn_out(layer.attention.output.dense.weight,
                            layer.attention.output.dense.bias, H)
         params[f"layers_{i}"] = {
-            "self_attn": _fused_attn(qk, qb, kk, kb, vk, vb, ok, ob),
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
             "ln1": _ln(layer.norm1),
             "ln2": _ln(layer.norm2),
             "ls1_scale": _t(layer.layer_scale1.lambda1),

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -79,78 +78,25 @@ class MlpBlock(nn.Module):
         return nn.Dense(out_dim, dtype=self.dtype, name="wo")(h)
 
 
-class FusedSelfAttention(nn.Module):
-    """Multi-head self-attention with a single fused QKV projection.
+class CachedCrossAttention(nn.Module):
+    """Cross-attention that caches the projected context K/V in decode.
 
-    One (D -> 3·D) DenseGeneral replaces flax MHDPA's three separate
-    query/key/value denses: the input activation is read from HBM once
-    instead of three times and XLA emits one wide MXU matmul instead of
-    three narrow ones (the measured fused-QKV lever, BASELINE.md).
-    Numerics are identical — each output element is the same fan-in-D dot
-    product, so HF-converted weights stay parity-exact (the converters
-    stack q/k/v kernels into the fused layout, models/convert.py).
+    Param layout is IDENTICAL to flax ``nn.MultiHeadDotProductAttention``
+    (query/key/value/out DenseGenerals), so converted checkpoints, the
+    partition rules, and the teacher-forcing training program are
+    unchanged. The one behavioral difference: with ``decode=True`` the
+    context K/V projections are computed ONCE at cache init and stored in
+    the 'cache' collection ('cached_ckey'/'cached_cvalue') — the encoder
+    memory is fixed for a whole generation, yet flax's module reprojected
+    it at every generated token (it was ~30% of a decode step's FLOPs at
+    ViVQA memory lengths).
 
-    ``decode=True`` reproduces flax's autoregressive cache contract
-    (cached_key/cached_value/cache_index in the 'cache' collection):
-    init with a full-length call creates zeroed caches; each subsequent
-    single-token call writes slot ``cache_index`` and attends over the
-    prefix.
-    """
-    num_heads: int
-    dtype: Dtype = jnp.bfloat16
-    dropout_rate: float = 0.0
-    decode: bool = False
-
-    @nn.compact
-    def __call__(self, x, mask=None, *, deterministic: bool = True):
-        D = x.shape[-1]
-        H = self.num_heads
-        assert D % H == 0, f"hidden dim {D} not divisible by {H} heads"
-        qkv = nn.DenseGeneral((3, H, D // H), dtype=self.dtype,
-                              name="qkv")(x)
-        q = qkv[..., 0, :, :]
-        k = qkv[..., 1, :, :]
-        v = qkv[..., 2, :, :]
-        if self.decode:
-            is_initialized = self.has_variable("cache", "cached_key")
-            cached_key = self.variable("cache", "cached_key",
-                                       jnp.zeros, k.shape, k.dtype)
-            cached_value = self.variable("cache", "cached_value",
-                                         jnp.zeros, v.shape, v.dtype)
-            cache_index = self.variable("cache", "cache_index",
-                                        lambda: jnp.zeros((), jnp.int32))
-            if is_initialized:
-                B, max_len, _, _ = cached_key.value.shape
-                cur = cache_index.value
-                k = jax.lax.dynamic_update_slice(cached_key.value, k,
-                                                 (0, cur, 0, 0))
-                v = jax.lax.dynamic_update_slice(cached_value.value, v,
-                                                 (0, cur, 0, 0))
-                cached_key.value = k
-                cached_value.value = v
-                cache_index.value = cur + 1
-                mask = nn.combine_masks(
-                    mask, jnp.broadcast_to(jnp.arange(max_len) <= cur,
-                                           (B, 1, 1, max_len)))
-        dropout_rng = None
-        if self.dropout_rate > 0.0 and not deterministic:
-            dropout_rng = self.make_rng("dropout")
-        y = nn.dot_product_attention(
-            q, k, v, mask=mask, dropout_rng=dropout_rng,
-            dropout_rate=self.dropout_rate, deterministic=deterministic,
-            dtype=self.dtype)
-        return nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,
-                               name="out")(y)
-
-
-class FusedCrossAttention(nn.Module):
-    """Cross-attention with a fused KV projection over the context.
-
-    ``decode=True`` additionally caches the projected context K/V in the
-    'cache' collection: the encoder memory is fixed for a whole decode,
-    so the two (Lc, D) projections are computed once at cache init
-    instead of at every generated token (they were ~30% of a decode step
-    at ViVQA memory lengths).
+    NOTE on the road not taken: an explicitly fused single QKV projection
+    (one D->3D DenseGeneral) was implemented and measured SLOWER on the
+    v5e headline train step (1,140 vs 1,161 QA-pairs/s/chip at B=128) —
+    XLA's dot merger already fuses same-operand projection gemms, and the
+    explicit stack added slice/concat materialization in both passes.
+    See BASELINE.md (round 4).
     """
     num_heads: int
     dtype: Dtype = jnp.bfloat16
@@ -165,17 +111,20 @@ class FusedCrossAttention(nn.Module):
         assert D % H == 0, f"hidden dim {D} not divisible by {H} heads"
         q = nn.DenseGeneral((H, D // H), dtype=self.dtype,
                             name="query")(x)
-        kv_dense = nn.DenseGeneral((2, H, D // H), dtype=self.dtype,
-                                   name="kv")
+        k_dense = nn.DenseGeneral((H, D // H), dtype=self.dtype,
+                                  name="key")
+        v_dense = nn.DenseGeneral((H, D // H), dtype=self.dtype,
+                                  name="value")
         if self.decode:
-            is_initialized = self.has_variable("cache", "cached_ckv")
-            fresh = kv_dense(context) if not is_initialized else None
-            cached = self.variable("cache", "cached_ckv", lambda: fresh)
-            kv = cached.value
+            is_initialized = self.has_variable("cache", "cached_ckey")
+            fresh_k = k_dense(context) if not is_initialized else None
+            fresh_v = v_dense(context) if not is_initialized else None
+            k = self.variable("cache", "cached_ckey", lambda: fresh_k).value
+            v = self.variable("cache", "cached_cvalue",
+                              lambda: fresh_v).value
         else:
-            kv = kv_dense(context)
-        k = kv[..., 0, :, :]
-        v = kv[..., 1, :, :]
+            k = k_dense(context)
+            v = v_dense(context)
         dropout_rng = None
         if self.dropout_rate > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
@@ -206,7 +155,10 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
-        attn = FusedSelfAttention(
+        # flax MHDPA (three separate projection denses) is deliberately
+        # kept here: an explicit fused QKV was measured 1.8% SLOWER on
+        # the v5e train step — see CachedCrossAttention's docstring.
+        attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout, name="self_attn")
         mlp = MlpBlock(self.d_ff, dropout=self.dropout, dtype=self.dtype,
@@ -216,7 +168,7 @@ class EncoderLayer(nn.Module):
         ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
         drop = nn.Dropout(self.dropout)
         if self.norm_style == "post":
-            y = attn(x, mask=mask, deterministic=deterministic)
+            y = attn(x, x, mask=mask, deterministic=deterministic)
             x = ln1(x + drop(y, deterministic=deterministic))
             y = mlp(x, deterministic=deterministic)
             return ln2(x + drop(y, deterministic=deterministic))
@@ -226,7 +178,7 @@ class EncoderLayer(nn.Module):
             init = nn.initializers.constant(self.layer_scale_init)
             ls1 = self.param("ls1_scale", init, (D,), jnp.float32)
             ls2 = self.param("ls2_scale", init, (D,), jnp.float32)
-        y = attn(ln1(x), mask=mask, deterministic=deterministic)
+        y = attn(ln1(x), ln1(x), mask=mask, deterministic=deterministic)
         if ls1 is not None:
             y = y * ls1.astype(y.dtype)
         x = x + drop(y, deterministic=deterministic)
@@ -249,13 +201,13 @@ class CrossAttentionLayer(nn.Module):
     def __call__(self, x, context, self_mask=None, cross_mask=None, *,
                  deterministic: bool = True, decode: bool = False):
         y = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        y = FusedSelfAttention(
+        y = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout, decode=decode, name="self_attn",
-        )(y, mask=self_mask, deterministic=deterministic)
+        )(y, y, mask=self_mask, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x)
-        y = FusedCrossAttention(
+        y = CachedCrossAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.dropout, decode=decode, name="cross_attn",
         )(y, context, mask=cross_mask, deterministic=deterministic)

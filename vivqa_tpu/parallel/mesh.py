@@ -86,13 +86,7 @@ DEFAULT_PARTITION_RULES: tuple[tuple[str, P], ...] = (
     (r"experts?[/_].*w_out", P(MODEL_AXIS, None, None)),
     (r"experts?[/_].*w_gate", P(MODEL_AXIS, None, None)),
     (r"experts?[/_].*(bias_in|bias_out|bias_gate)", P(MODEL_AXIS, None)),
-    # Attention projections. Fused layouts first: qkv kernel (D, 3, H, Dh)
-    # and cross-attn kv kernel (D, 2, H, Dh) shard the head axis; their
-    # biases (3|2, H, Dh) likewise. (Swin's rank-2 attn/qkv Dense kernel
-    # matches the pattern but not the rank, so _spec_fits replicates it —
-    # same as before these rules.)
-    (r"(self_attn|cross_attn|attention|attn)/(qkv|kv)/kernel", P(None, None, MODEL_AXIS)),
-    (r"(self_attn|cross_attn|attention|attn)/(qkv|kv)/bias", P(None, MODEL_AXIS)),
+    # Attention projections
     (r"(self_attn|cross_attn|attention|attn)/(query|key|value|q_proj|k_proj|v_proj)/kernel", P(None, MODEL_AXIS)),
     (r"(self_attn|cross_attn|attention|attn)/(out|o_proj|out_proj)/kernel", P(MODEL_AXIS, None)),
     # Transformer MLPs
