@@ -36,7 +36,17 @@ def main():
                     help="comma list of full,fwd,fwd_eval,fwd_bwd,opt "
                          "(each compile is minutes over the dev tunnel; "
                          "run in <10-min chunks)")
+    ap.add_argument("--threefry", action="store_true",
+                    help="keep the default threefry dropout PRNG. By "
+                         "default this profiler enables the hardware "
+                         "RngBitGenerator exactly like bench.py — "
+                         "without it, fwd/fwd_bwd numbers are NOT "
+                         "comparable to the bench step (threefry mask "
+                         "generation alone is ~30ms on the flagship).")
     args = ap.parse_args()
+    if not args.threefry:
+        from vivqa_tpu.utils.seeding import enable_fast_prng
+        enable_fast_prng()
     only = set(args.only.split(",")) if args.only else None
 
     def want(name):

@@ -34,7 +34,13 @@ def main():
                     help="deterministic mode (no dropout)")
     ap.add_argument("--nomask", action="store_true",
                     help="text tower: skip the attention mask")
+    ap.add_argument("--threefry", action="store_true",
+                    help="keep the threefry dropout PRNG (default: the "
+                         "hardware RngBitGenerator, matching bench.py)")
     args = ap.parse_args()
+    if not args.threefry:
+        from vivqa_tpu.utils.seeding import enable_fast_prng
+        enable_fast_prng()
     B = args.batch
 
     from vivqa_tpu.models.config import (FusionConfig, MoEModelConfig,
