@@ -139,16 +139,26 @@ def autoregressive_decode(apply_fn: Callable, cache: Any, batch_size: int,
 # ---------------------------------------------------------------------------
 
 def _gather_beams(tree, beam_idx, batch_size, num_beams):
-    """Gather along the folded (batch*beam) axis. beam_idx: (B, K) in [0,K)."""
-    def gather(x):
+    """Gather along the folded (batch*beam) axis. beam_idx: (B, K) in [0,K).
+
+    Beam-INVARIANT cache entries are skipped: the cached cross-attention
+    K/V ('cached_ckey'/'cached_cvalue', layers.CachedCrossAttention) and
+    scalar position counters are identical across the beams of a row, so
+    reordering them is an identity — and a expensive one (at ViVQA memory
+    lengths the cross K/V are the largest tensors in the cache; gathering
+    them every step measurably dominated the beam step)."""
+    def gather(path, x):
         if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        if any("cached_ck" in str(getattr(k, "key", k)) or
+               "cached_cv" in str(getattr(k, "key", k)) for k in path):
             return x
         unflat = x.reshape((batch_size, num_beams) + x.shape[1:])
         out = jnp.take_along_axis(
             unflat, beam_idx.reshape((batch_size, num_beams) +
                                      (1,) * (x.ndim - 1)), axis=1)
         return out.reshape(x.shape)
-    return jax.tree.map(gather, tree)
+    return jax.tree_util.tree_map_with_path(gather, tree)
 
 
 def _length_penalty(length, alpha):
