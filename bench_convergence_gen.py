@@ -49,28 +49,54 @@ def main():
     lr = float(os.environ.get("GEN_LR", 1e-3))
     beams = int(os.environ.get("GEN_BEAMS", 4))
     dropout = float(os.environ.get("GEN_DROPOUT", 0.05))
+    # GEN_MODEL=flagship trains the FULL bench_serving.py model shape on
+    # the synthetic corpus. Purpose: a fitted flagship checkpoint that
+    # emits real EOS at realistic 1-6-token answers, so the production
+    # early_exit=True decode can be measured in wall-clock at the scale
+    # where it matters (the demo-size model decodes under the tunnel's
+    # ~2.7 ms/call dispatch floor — unmeasurable). A few epochs suffice:
+    # the checkpoint needs EOS behavior, not accuracy.
+    flagship = os.environ.get("GEN_MODEL", "") == "flagship"
     # "medium" (rotation/translate/erasing) spatially scrambles the
     # per-image noise so the decoder can't memorize it as a sample key —
     # the coarse scene codes survive; "light" lets a high-capacity
     # seq2seq head overfit noise (observed: train loss 0.02, val EM 0.12)
     aug = os.environ.get("GEN_AUG", "medium")
     wd = float(os.environ.get("GEN_WD", 0.01))
+    img_size = 224 if flagship else 64
     with tempfile.TemporaryDirectory() as d:
-        csv, imgs = generate_synthetic_vivqa(d, n=n, image_size=64,
-                                             learnable=True,
-                                             seq_answers=True)
+        # GEN_CORPUS_DIR caches the rendered corpus across chunked runs
+        # (224^2 flagship rendering costs minutes on a 1-core host; the
+        # corpus is deterministic in (n, image_size, seed) so reuse is
+        # bit-identical to regeneration)
+        corpus_dir = os.environ.get("GEN_CORPUS_DIR") or d
+        csv = os.path.join(corpus_dir, "data.csv")
+        imgs = os.path.join(corpus_dir, "images")
+        if not os.path.exists(csv):
+            csv, imgs = generate_synthetic_vivqa(corpus_dir, n=n,
+                                                 image_size=img_size,
+                                                 learnable=True,
+                                                 seq_answers=True)
         print(f"[bench_convergence_gen] corpus ready ({n} samples); "
               "building pipeline (first compile ~20-40s on TPU)...",
               flush=True)
         ckpt_dir = os.environ.get("GEN_CKPT") or os.path.join(d, "ck")
-        cfg = GenerativeVQAPipelineConfig(
-            mode="train",
-            data=DataPipelineConfig(
-                csv_path=str(csv), image_dir=str(imgs), image_size=64,
-                max_question_length=12, max_answer_length=10,
-                batch_size=32, augmentation_strength=aug,
-                generative=True),
-            model=GenerativeVQAConfig(
+        if flagship:
+            # exact bench_serving.py main() model shape
+            model_cfg = GenerativeVQAConfig(
+                visual=VisualEncoderConfig(backbone="clip", image_size=224,
+                                           patch_size=32, hidden_dim=768,
+                                           num_layers=12, num_heads=12),
+                text=TextEncoderConfig(backbone="phobert", vocab_size=64001,
+                                       hidden_dim=768, num_layers=12,
+                                       num_heads=12, max_length=64),
+                fusion_dim=512, fusion_layers=3, fusion_heads=8,
+                vocab_size=64001, decoder_layers=6, decoder_heads=8,
+                decoder_dim=512, decoder_ff_dim=2048,
+                max_answer_length=32, dropout=dropout,
+                label_smoothing=0.0)
+        else:
+            model_cfg = GenerativeVQAConfig(
                 visual=VisualEncoderConfig(image_size=64, patch_size=8,
                                            hidden_dim=128, num_layers=4,
                                            num_heads=4),
@@ -79,7 +105,19 @@ def main():
                                        max_length=12),
                 fusion_dim=128, fusion_layers=2, fusion_heads=4,
                 decoder_layers=2, decoder_heads=4, decoder_dim=128,
-                decoder_ff_dim=512, dropout=dropout, label_smoothing=0.0),
+                decoder_ff_dim=512, dropout=dropout, label_smoothing=0.0)
+        cfg = GenerativeVQAPipelineConfig(
+            mode="train",
+            data=DataPipelineConfig(
+                csv_path=str(csv), image_dir=str(imgs),
+                image_size=img_size,
+                max_question_length=model_cfg.text.max_length
+                if flagship else 12,
+                max_answer_length=model_cfg.max_answer_length
+                if flagship else 10,
+                batch_size=32, augmentation_strength=aug,
+                generative=True),
+            model=model_cfg,
             training=GenerativeTrainingConfig(
                 num_epochs=epochs,
                 optimizer=OptimizerConfig(learning_rate=lr,

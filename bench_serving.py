@@ -100,6 +100,11 @@ def bench_fitted(ckpt_dir: str):
 
     _note(f"fitted mode: restoring {ckpt_dir}")
     model, params, meta = load_model_from_checkpoint(ckpt_dir)
+    # Orbax restores to HOST numpy; partial_load keeps those leaves.
+    # Without an explicit device_put every benchmark call re-uploads the
+    # whole param tree through the tunnel (~20 MB/call — measured as a
+    # 50x slowdown: 554 ms/batch for a model whose decode runs in ~5 ms).
+    params = jax.device_put(params)
     cfg = model.config
     n = int(os.environ.get("GEN_SAMPLES", 2048))
     batches = [int(b) for b in
@@ -110,13 +115,21 @@ def bench_fitted(ckpt_dir: str):
     N = int(os.environ.get("BENCH_SERVE_WINDOW_ITERS", 20))
     lat_calls = int(os.environ.get("BENCH_SERVE_LAT_CALLS", 15))
 
+    img_size = cfg.visual.image_size
     with tempfile.TemporaryDirectory() as d:
-        # the bench_convergence_gen corpus, bit-identical (same seed)
-        csv, imgs = generate_synthetic_vivqa(d, n=n, image_size=64,
-                                             learnable=True,
-                                             seq_answers=True)
+        # the bench_convergence_gen corpus, bit-identical (same seed);
+        # GEN_CORPUS_DIR reuses a pre-rendered cache (224^2 rendering
+        # costs minutes on a 1-core host)
+        corpus_dir = os.environ.get("GEN_CORPUS_DIR") or d
+        csv = os.path.join(corpus_dir, "data.csv")
+        imgs = os.path.join(corpus_dir, "images")
+        if not os.path.exists(csv):
+            csv, imgs = generate_synthetic_vivqa(corpus_dir, n=n,
+                                                 image_size=img_size,
+                                                 learnable=True,
+                                                 seq_answers=True)
         data = DataPipeline(DataPipelineConfig(
-            csv_path=str(csv), image_dir=str(imgs), image_size=64,
+            csv_path=str(csv), image_dir=str(imgs), image_size=img_size,
             max_question_length=cfg.text.max_length,
             max_answer_length=cfg.max_answer_length,
             batch_size=max(batches), augmentation_strength="light",

@@ -94,6 +94,11 @@ def load_model_from_checkpoint(ckpt_dir: str, logger=None):
     d = jnp.zeros((1, cfg.max_answer_length), jnp.int32)
     params = model.init({"params": rng, "router": rng}, px, q, d)["params"]
     params, _ = partial_load(restored.get("params", restored), params, logger)
+    # partial_load keeps Orbax's host-numpy leaves; place the tree on
+    # device ONCE so per-batch jitted calls don't re-upload it each time
+    # (measured as a 50x slowdown on the tunnel: bench_serving.py fitted
+    # mode before this fix).
+    params = jax.device_put(params)
     return model, params, meta
 
 
