@@ -32,7 +32,7 @@ import tempfile
 
 print("[bench_convergence_gen] starting (pre-device-init)...", flush=True)
 
-from vivqa_tpu.data import generate_synthetic_vivqa
+from vivqa_tpu.data import ensure_synthetic_vivqa
 from vivqa_tpu.models.config import (GenerativeVQAConfig, TextEncoderConfig,
                                      VisualEncoderConfig)
 from vivqa_tpu.parallel import MeshConfig
@@ -68,15 +68,14 @@ def main():
         # GEN_CORPUS_DIR caches the rendered corpus across chunked runs
         # (224^2 flagship rendering costs minutes on a 1-core host; the
         # corpus is deterministic in (n, image_size, seed) so reuse is
-        # bit-identical to regeneration)
+        # bit-identical to regeneration). ensure_ verifies the cache's
+        # manifest and raises on a stale/mismatched cache instead of
+        # silently resizing it.
         corpus_dir = os.environ.get("GEN_CORPUS_DIR") or d
-        csv = os.path.join(corpus_dir, "data.csv")
-        imgs = os.path.join(corpus_dir, "images")
-        if not os.path.exists(csv):
-            csv, imgs = generate_synthetic_vivqa(corpus_dir, n=n,
-                                                 image_size=img_size,
-                                                 learnable=True,
-                                                 seq_answers=True)
+        csv, imgs = ensure_synthetic_vivqa(corpus_dir, n=n,
+                                           image_size=img_size,
+                                           learnable=True,
+                                           seq_answers=True)
         print(f"[bench_convergence_gen] corpus ready ({n} samples); "
               "building pipeline (first compile ~20-40s on TPU)...",
               flush=True)

@@ -91,7 +91,7 @@ def bench_fitted(ckpt_dir: str):
     records what the identity costs/saves in time."""
     import tempfile
 
-    from vivqa_tpu.data import generate_synthetic_vivqa
+    from vivqa_tpu.data import ensure_synthetic_vivqa
     from vivqa_tpu.models.decoding import DecodeConfig, build_generate_fn
     from vivqa_tpu.pipelines import DataPipeline, DataPipelineConfig
     from vivqa_tpu.pipelines.vivqa_evaluation import \
@@ -99,12 +99,10 @@ def bench_fitted(ckpt_dir: str):
     from vivqa_tpu.utils.profiling import measure_rtt
 
     _note(f"fitted mode: restoring {ckpt_dir}")
+    # load_model_from_checkpoint device_puts the restored params (Orbax
+    # restores to HOST numpy; without placement every benchmark call
+    # would re-upload the whole param tree through the tunnel).
     model, params, meta = load_model_from_checkpoint(ckpt_dir)
-    # Orbax restores to HOST numpy; partial_load keeps those leaves.
-    # Without an explicit device_put every benchmark call re-uploads the
-    # whole param tree through the tunnel (~20 MB/call — measured as a
-    # 50x slowdown: 554 ms/batch for a model whose decode runs in ~5 ms).
-    params = jax.device_put(params)
     cfg = model.config
     n = int(os.environ.get("GEN_SAMPLES", 2048))
     batches = [int(b) for b in
@@ -119,15 +117,13 @@ def bench_fitted(ckpt_dir: str):
     with tempfile.TemporaryDirectory() as d:
         # the bench_convergence_gen corpus, bit-identical (same seed);
         # GEN_CORPUS_DIR reuses a pre-rendered cache (224^2 rendering
-        # costs minutes on a 1-core host)
+        # costs minutes on a 1-core host). ensure_ verifies the cache's
+        # manifest (n/image_size/seed/flags) and raises on mismatch.
         corpus_dir = os.environ.get("GEN_CORPUS_DIR") or d
-        csv = os.path.join(corpus_dir, "data.csv")
-        imgs = os.path.join(corpus_dir, "images")
-        if not os.path.exists(csv):
-            csv, imgs = generate_synthetic_vivqa(corpus_dir, n=n,
-                                                 image_size=img_size,
-                                                 learnable=True,
-                                                 seq_answers=True)
+        csv, imgs = ensure_synthetic_vivqa(corpus_dir, n=n,
+                                           image_size=img_size,
+                                           learnable=True,
+                                           seq_answers=True)
         data = DataPipeline(DataPipelineConfig(
             csv_path=str(csv), image_dir=str(imgs), image_size=img_size,
             max_question_length=cfg.text.max_length,

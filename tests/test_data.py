@@ -33,6 +33,32 @@ def test_synthetic_csv_roundtrip(tmp_path):
     assert stats["num_samples"] == 12 and stats["num_unique_answers"] > 0
 
 
+def test_ensure_synthetic_vivqa_manifest(tmp_path):
+    """Corpus-cache reuse is manifest-validated (advisor r4 medium): a
+    cached corpus generated with different params must raise, not be
+    silently resized and reused."""
+    from vivqa_tpu.data import ensure_synthetic_vivqa
+
+    d = tmp_path / "corpus"
+    csv1, imgs1 = ensure_synthetic_vivqa(d, n=6, image_size=16)
+    assert (d / "manifest.json").exists()
+    # matching params -> reuse (same paths, no error)
+    csv2, _ = ensure_synthetic_vivqa(d, n=6, image_size=16)
+    assert csv2 == csv1
+    # mismatched params -> explicit error
+    with pytest.raises(ValueError, match="generated with"):
+        ensure_synthetic_vivqa(d, n=6, image_size=32)
+    with pytest.raises(ValueError, match="generated with"):
+        ensure_synthetic_vivqa(d, n=12, image_size=16)
+    # pre-manifest cache: verified via cheap invariants, then stamped
+    (d / "manifest.json").unlink()
+    csv3, _ = ensure_synthetic_vivqa(d, n=6, image_size=16)
+    assert csv3 == csv1 and (d / "manifest.json").exists()
+    (d / "manifest.json").unlink()
+    with pytest.raises(ValueError, match="no manifest"):
+        ensure_synthetic_vivqa(d, n=7, image_size=16)
+
+
 def test_validate_samples_drops_bad():
     good = OneSample("a.jpg", "q?", ["a"])
     bad = OneSample("", "", [])

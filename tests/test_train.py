@@ -341,6 +341,29 @@ def test_settled_defenses_gate(monkeypatch):
     np.testing.assert_array_equal(np.asarray(view["w"]), np.ones((2, 2)))
 
 
+def test_settled_gate_probes_live_backend(monkeypatch):
+    """Round-4 verdict weak #6: an axon session launched WITHOUT
+    JAX_PLATFORMS set must still get the defenses — the gate probes the
+    initialized backend, not just the env string."""
+    from vivqa_tpu.train import state as state_mod
+
+    monkeypatch.delenv("VIVQA_SETTLED_READS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    # simulate the axon-without-env scenario: env says nothing axon-ish,
+    # but the live runtime is the axon plugin
+    monkeypatch.setattr(state_mod, "_axon_runtime_active", lambda: True)
+    assert state_mod.settled_defenses_enabled() is True
+    # explicit off still wins over the probe
+    monkeypatch.setenv("VIVQA_SETTLED_READS", "0")
+    assert state_mod.settled_defenses_enabled() is False
+
+    # the probe itself recognizes the plugin via the backend name even
+    # when devices report platform == "tpu" (measured on axon)
+    monkeypatch.undo()
+    monkeypatch.setattr(state_mod.jax, "default_backend", lambda: "axon")
+    assert state_mod._axon_runtime_active() is True
+
+
 def test_settled_strict_raises_on_nonconvergence(monkeypatch):
     from vivqa_tpu.train.state import settled_call
 

@@ -10,7 +10,9 @@ from vivqa_tpu.data.dataset import (IGNORE_INDEX, GenerativeVQADataset,
                                     vqa_collate)
 from vivqa_tpu.data.loader import BatchLoader, device_prefetch
 from vivqa_tpu.data.schema import OneSample
-from vivqa_tpu.data.synthetic import generate_synthetic_vivqa, synthetic_samples
+from vivqa_tpu.data.synthetic import (ensure_synthetic_vivqa,
+                                      generate_synthetic_vivqa,
+                                      synthetic_samples)
 from vivqa_tpu.data.tokenizer import (PretrainedTokenizer,
                                       WhitespaceTokenizer, create_tokenizer)
 from vivqa_tpu.data.vocab import (build_answer_vocab, encode_answer_counts,
@@ -25,5 +27,6 @@ __all__ = [
     "IGNORE_INDEX", "BatchLoader", "device_prefetch",
     "WhitespaceTokenizer", "PretrainedTokenizer", "create_tokenizer",
     "build_answer_vocab", "majority_answer", "encode_answer_counts",
-    "generate_synthetic_vivqa", "synthetic_samples",
+    "ensure_synthetic_vivqa", "generate_synthetic_vivqa",
+    "synthetic_samples",
 ]

@@ -4,6 +4,7 @@ random tensors)."""
 
 from __future__ import annotations
 
+import json
 import random
 from pathlib import Path
 from typing import List, Tuple
@@ -118,6 +119,59 @@ def generate_synthetic_vivqa(out_dir: str | Path, n: int = 64,
         f.write("image_link,question,answers\n")
         for name, q, answers in rows:
             f.write(f'{name},"{q}","{answers}"\n')
+    with open(out / "manifest.json", "w", encoding="utf-8") as f:
+        json.dump({"n": n, "image_size": image_size, "seed": seed,
+                   "learnable": learnable, "seq_answers": seq_answers}, f)
+    return csv_path, img_dir
+
+
+def ensure_synthetic_vivqa(out_dir: str | Path, n: int = 64,
+                           image_size: int = 64, seed: int = 0,
+                           learnable: bool = False,
+                           seq_answers: bool = False) -> Tuple[Path, Path]:
+    """Reuse-or-generate wrapper around :func:`generate_synthetic_vivqa`
+    for benches that cache the rendered corpus across chunked runs
+    (224^2 rendering costs minutes on a 1-core host).
+
+    Reuse is only valid when the cached corpus was generated with the
+    SAME parameters — a stale cache from a different config (e.g. a
+    64x64 demo corpus silently resized to 224) would corrupt the
+    measurement without warning. The generator writes ``manifest.json``
+    alongside ``data.csv``; this checks it and raises on mismatch
+    instead of silently reusing. A pre-manifest cache is grandfathered
+    iff its row count and image dimensions verify against the request
+    (then the manifest is written for next time)."""
+    out = Path(out_dir)
+    csv_path, img_dir = out / "data.csv", out / "images"
+    want = {"n": n, "image_size": image_size, "seed": seed,
+            "learnable": learnable, "seq_answers": seq_answers}
+    if not csv_path.exists():
+        return generate_synthetic_vivqa(out_dir, n=n, image_size=image_size,
+                                        seed=seed, learnable=learnable,
+                                        seq_answers=seq_answers)
+    mpath = out / "manifest.json"
+    if mpath.exists():
+        with open(mpath, encoding="utf-8") as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"cached corpus at {out} was generated with {have}, but "
+                f"{want} was requested — clear the directory or point the "
+                "corpus-dir env var elsewhere")
+        return csv_path, img_dir
+    # pre-manifest cache: verify the cheap invariants, then stamp it
+    with open(csv_path, encoding="utf-8") as f:
+        rows = sum(1 for _ in f) - 1
+    from PIL import Image
+    with Image.open(img_dir / "img_00000.jpg") as im:
+        w, h = im.size
+    if rows != n or (w, h) != (image_size, image_size):
+        raise ValueError(
+            f"cached corpus at {out} has {rows} rows of {w}x{h} images, "
+            f"but n={n} image_size={image_size} was requested (no manifest "
+            "to confirm seed/flags) — clear the directory or fix the env")
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(want, f)
     return csv_path, img_dir
 
 

@@ -100,6 +100,57 @@ def convert_bert(hf_model, config: TextEncoderConfig,
     return params
 
 
+def convert_bart(hf_model, config: TextEncoderConfig) -> Dict:
+    """MBartModel (or its .encoder) -> TextEncoder params.
+
+    BARTpho (vinai/bartpho-syllable|word) is an mBART: the reference
+    declares it as a text-backbone choice but never loads it
+    (vqa_config.py:20-27); here the ENCODER half maps onto TextEncoder's
+    pre-LN layout exactly — layernorm_embedding after emb+pos (ln_embed),
+    pre-LN layers (self_attn_layer_norm -> ln1, final_layer_norm -> ln2,
+    fc1/fc2 -> mlp wi/wo), and mBART's final layer_norm -> ln_final.
+    Learned positions are offset by 2 rows (BART convention) and there
+    are no token types. mBART's sqrt(D) embedding scale is folded into
+    the token table — exact, the table is only read by lookup here.
+    Requires the mBART (pre-LN) layout; plain BART is post-LN WITHOUT a
+    final layer_norm, which TextEncoder deliberately does not model."""
+    assert config.norm_style == "pre", \
+        "mBART/BARTpho weights require norm_style='pre'"
+    enc = getattr(hf_model, "encoder", hf_model)
+    assert getattr(enc, "layer_norm", None) is not None, \
+        "convert_bart supports the mBART (pre-LN) encoder layout only"
+    L = config.max_length
+    # the sqrt(D) scale moved between transformers versions: older puts
+    # it on the encoder, newer on MBartScaledWordEmbedding itself
+    scale = float(getattr(enc, "embed_scale", None)
+                  or getattr(enc.embed_tokens, "embed_scale", None) or 1.0)
+    params: Dict = {
+        "token_embed": {"embedding": _t(enc.embed_tokens.weight) * scale},
+        # MBartLearnedPositionalEmbedding: table has 2 extra leading rows
+        "pos_embed": {"embedding": _t(enc.embed_positions.weight)[2: 2 + L]},
+        "ln_embed": _ln(enc.layernorm_embedding),
+        "ln_final": _ln(enc.layer_norm),
+    }
+    H = config.num_heads
+    for i, layer in enumerate(enc.layers):
+        sa = layer.self_attn
+        qk, qb = _attn_in(sa.q_proj.weight, sa.q_proj.bias, H)
+        kk, kb = _attn_in(sa.k_proj.weight, sa.k_proj.bias, H)
+        vk, vb = _attn_in(sa.v_proj.weight, sa.v_proj.bias, H)
+        ok, ob = _attn_out(sa.out_proj.weight, sa.out_proj.bias, H)
+        params[f"layers_{i}"] = {
+            "self_attn": {"query": {"kernel": qk, "bias": qb},
+                          "key": {"kernel": kk, "bias": kb},
+                          "value": {"kernel": vk, "bias": vb},
+                          "out": {"kernel": ok, "bias": ob}},
+            "ln1": _ln(layer.self_attn_layer_norm),
+            "ln2": _ln(layer.final_layer_norm),
+            "mlp": {"wi": _linear(layer.fc1.weight, layer.fc1.bias),
+                    "wo": _linear(layer.fc2.weight, layer.fc2.bias)},
+        }
+    return params
+
+
 def convert_vit(hf_model, config: VisualEncoderConfig) -> Dict:
     """ViTModel -> ViTEncoder params."""
     emb = hf_model.embeddings
@@ -183,6 +234,25 @@ def load_pretrained_text_encoder(name_or_path: str,
     from transformers import AutoModel
     from vivqa_tpu.models.encoders.text import TextEncoder
     hf = AutoModel.from_pretrained(name_or_path, local_files_only=True)
+    if hf.config.model_type in ("mbart", "bart"):
+        # BARTpho family: encoder half of the seq2seq model, pre-LN
+        usable = hf.config.max_position_embeddings  # table carries +2 rows
+        if config.max_length > usable:
+            raise ValueError(
+                f"pretrained text encoder '{name_or_path}' has only "
+                f"{usable} usable positions but max_length="
+                f"{config.max_length} was requested — reduce "
+                f"data.max_question_length to <= {usable}")
+        cfg = config.replace(
+            norm_style="pre",
+            activation=getattr(hf.config, "activation_function", "gelu"),
+            vocab_size=hf.config.vocab_size,
+            hidden_dim=hf.config.d_model,
+            num_layers=hf.config.encoder_layers,
+            num_heads=hf.config.encoder_attention_heads,
+            mlp_ratio=hf.config.encoder_ffn_dim / hf.config.d_model,
+            type_vocab_size=1)
+        return TextEncoder(cfg), convert_bart(hf, cfg)
     offset = 2 if hf.config.model_type in ("roberta", "phobert",
                                            "xlm-roberta") else 0
     usable = hf.config.max_position_embeddings - offset

@@ -138,17 +138,49 @@ def _trees_bit_identical(a, b) -> bool:
                for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
 
 
+def _axon_runtime_active() -> bool:
+    """Probe whether the LIVE initialized JAX backend is the axon plugin.
+
+    Round-4 verdict weak #6: gating on the JAX_PLATFORMS env string
+    alone is unsound — the axon plugin can register regardless of the
+    env var (CLAUDE.md), so an axon session launched without it would
+    silently run with the defenses OFF, which is exactly the corruption
+    scenario they exist to prevent. The axon devices report
+    ``platform == "tpu"`` (measured), so the probe inspects the backend
+    name, the client's platform/version strings, and the device class'
+    module for the plugin's name. Callers invoke this around device
+    reads/calls, so the backend is already initialized; if it is not,
+    initialization here is acceptable (the very next operation would
+    initialize it anyway)."""
+    try:
+        names = {jax.default_backend()}
+        d = jax.devices()[0]
+        names.add(getattr(d, "platform", "") or "")
+        names.add(type(d).__module__ or "")
+        client = getattr(d, "client", None)
+        if client is not None:
+            names.add(getattr(client, "platform", "") or "")
+            names.add(str(getattr(client, "platform_version", "") or ""))
+    except Exception:
+        return False
+    return any("axon" in n.lower() for n in names)
+
+
 def settled_defenses_enabled() -> bool:
     """Whether the settled-read/settled-call defenses run.
 
     The defenses work around an AXON-TUNNEL-SPECIFIC corruption (see the
     docstrings below); a healthy TPU/CPU/GPU runtime should not pay
-    their duplicate executions/reads. Gate (round-3 verdict weak #5):
+    their duplicate executions/reads. Gate (round-3 verdict weak #5;
+    live-backend probe per round-4 weak #6):
 
       VIVQA_SETTLED_READS=1|true|on    force on
       VIVQA_SETTLED_READS=0|false|off  force off
-      unset / auto                     on iff the axon plugin is the
-                                       requested JAX platform
+      unset / auto                     on iff the INITIALIZED backend is
+                                       the axon plugin (live probe), or
+                                       JAX_PLATFORMS requests it (kept
+                                       as a conservative extra signal —
+                                       defenses-on is safe, only slower)
     """
     import os
     mode = os.environ.get("VIVQA_SETTLED_READS", "auto").strip().lower()
@@ -156,7 +188,8 @@ def settled_defenses_enabled() -> bool:
         return True
     if mode in ("0", "false", "off"):
         return False
-    return "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+    return ("axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+            or _axon_runtime_active())
 
 
 def _settled_strict() -> bool:
