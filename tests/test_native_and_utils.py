@@ -159,3 +159,18 @@ def test_coco_downloader_handles_failures(tmp_path, monkeypatch):
     out = downloaders.download_coco_images([123], tmp_path, retries=1,
                                            delay=0.0)
     assert out["failed"] == [123] and out["ok"] == []
+
+
+def test_show_sample_and_batch(tmp_path):
+    """Headless sample visualization writes PNGs (reference
+    dataset_visualization.py show_sample)."""
+    import numpy as np
+    from vivqa_tpu.utils import show_batch, show_sample
+
+    img = (np.random.RandomState(0).rand(16, 16, 3) * 255).astype(np.uint8)
+    out = show_sample(img, "màu gì?", "đỏ", save_path=tmp_path / "s.png")
+    assert out.exists() and out.stat().st_size > 0
+    # float images and answer lists render too
+    out2 = show_batch([img / 255.0, img], ["q1", "q2"],
+                      [["a", "b"], "c"], tmp_path / "g.png", ncols=2)
+    assert out2.exists() and out2.stat().st_size > 0
