@@ -84,8 +84,13 @@ def main():
     _note("initializing params...")
     params = model.init({"params": rng, "router": rng},
                         batch["pixel_values"][:2], batch["input_ids"][:2])["params"]
+    # optimizer-state experiment knobs (round-5 lever: the opt pass is
+    # pure HBM traffic): BENCH_OPT_NAME=adafactor, BENCH_MU_DTYPE=bfloat16
     tx = create_optimizer(
-        OptimizerConfig(learning_rate=1e-4),
+        OptimizerConfig(learning_rate=1e-4,
+                        name=os.environ.get("BENCH_OPT_NAME", "adamw"),
+                        mu_dtype=os.environ.get("BENCH_MU_DTYPE",
+                                                "float32")),
         SchedulerConfig(name="warmup_cosine", warmup_steps=100,
                         total_steps=10000),
         params=params)

@@ -144,6 +144,41 @@ def test_frozen_params_get_zero_updates():
     assert float(jnp.abs(updates["answer_head"]["k"]).sum()) > 0.0
 
 
+def test_optimizer_state_dtype_levers():
+    """Round-5 HBM lever: bf16 first moment + adafactor's factored
+    second moment. The state must actually carry the reduced dtypes and
+    a step must move params sanely."""
+    params = {"w": jnp.ones((128, 130)), "b": jnp.zeros(130)}
+    grads = jax.tree.map(lambda x: jnp.full_like(x, 0.1), params)
+
+    tx = create_optimizer(OptimizerConfig(learning_rate=1e-2,
+                                          mu_dtype="bfloat16"),
+                          params=params)
+    st = tx.init(params)
+    mus = [l for l in jax.tree.leaves(st)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "bf16 mu_dtype must appear in the adamw state"
+    updates, _ = tx.update(grads, st, params)
+    assert all(bool(jnp.all(jnp.isfinite(u)))
+               for u in jax.tree.leaves(updates))
+
+    txf = create_optimizer(OptimizerConfig(name="adafactor",
+                                           learning_rate=1e-2,
+                                           weight_decay=0.0),
+                           params=params)
+    stf = txf.init(params)
+    # factored: no state leaf carries the full (128, 130) matrix shape
+    big = [l for l in jax.tree.leaves(stf)
+           if hasattr(l, "shape") and l.shape == (128, 130)
+           and l.dtype == jnp.float32]
+    # (momentum=beta1 keeps one full-size mu; the SECOND moment must be
+    # factored — so at most the single mu leaf may be full-size)
+    assert len(big) <= 1
+    updates, _ = txf.update(grads, stf, params)
+    assert all(bool(jnp.all(jnp.isfinite(u)))
+               for u in jax.tree.leaves(updates))
+
+
 # ---------------------------------------------------------------------------
 # Sharded end-to-end train step
 # ---------------------------------------------------------------------------

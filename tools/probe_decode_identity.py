@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 print("[probe] importing jax (silent stall = tunnel hang; retry)...",
       flush=True)
 import jax
+
+if os.environ.get("PROBE_CPU"):
+    # env var alone is ignored by the axon plugin — pin the config knob
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +55,8 @@ def first_eos(row):
     return int(w[0]) if len(w) else len(row)
 
 
-for strategy in ("greedy", "beam"):
+RUNS = int(os.environ.get("PROBE_RUNS", 3))
+for strategy in os.environ.get("PROBE_STRATEGIES", "greedy,beam").split(","):
     seqs = {}
     for early in (False, True):
         gen = jax.jit(build_generate_fn(model, DecodeConfig(
@@ -60,14 +65,14 @@ for strategy in ("greedy", "beam"):
             eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
             early_exit=early)))
         runs = []
-        for r in range(3):
+        for r in range(RUNS):
             s, sc = gen(params, px, q, qm)
             runs.append((np.asarray(s), np.asarray(sc)))
         det = all(np.array_equal(runs[0][0], r[0]) for r in runs[1:])
         key = f"{strategy}_{'early' if early else 'fixed'}"
         seqs[key] = runs[-1][0]
         lens = [first_eos(r) for r in runs[-1][0]]
-        print(f"[probe] {key}: deterministic_across_3_runs={det} "
+        print(f"[probe] {key}: deterministic_across_{RUNS}_runs={det} "
               f"first_eos={lens}", flush=True)
         print(f"[probe]   row0: {runs[-1][0][0][:12].tolist()} "
               f"score0={runs[-1][1][0]:.4f}", flush=True)

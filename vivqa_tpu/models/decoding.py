@@ -5,12 +5,15 @@ This replaces the reference's generation loop
 the full decoder stack on the growing sequence every step (no KV cache)
 and silently ignores its `num_beams` argument. Here:
 
-- the whole generation loop is ONE device loop inside jit (static
-  max-length, no host round-trips) — a `lax.while_loop` that exits as
-  soon as no output can change (all rows EOS'd / no live beam can beat
-  the worst finished beam; `early_exit=True`, output-identical, ~6x
-  fewer steps on real 1-5-token answers), or a fixed-trip `lax.scan`
-  (`early_exit=False`, used by benchmarks for fixed work per call);
+- the whole generation loop is ONE device `lax.while_loop` inside jit
+  (static max-length, no host round-trips). `early_exit=True` (default)
+  exits as soon as no output can change (all rows EOS'd / no live beam
+  can beat the worst finished beam — output-identical, ~6x fewer steps
+  on real 1-5-token answers); `early_exit=False` keeps the fixed trip
+  count (benchmarks: fixed work per call). Both modes share the ONE
+  while_loop program: the scan/fori_loop forms of the same body
+  deterministically miscompile on the axon TPU runtime (see the notes
+  at the loops + tools/probe_decode_identity.py);
 - every step is O(1) decoder work thanks to the flax decode cache;
 - beam search is a real batched implementation (t5x-style): beams are
   folded into the batch dimension, the cache is gathered when beams are
@@ -99,27 +102,33 @@ def autoregressive_decode(apply_fn: Callable, cache: Any, batch_size: int,
     init_done = jnp.zeros((batch_size,), bool)
     init_score = jnp.zeros((batch_size,), jnp.float32)
 
-    if not cfg.early_exit:
-        def step(carry, _):
-            tokens, cache, done, score, rng = carry
-            nxt, cache, done, score, rng = advance(tokens, cache, done,
-                                                   score, rng)
-            return (nxt[:, None], cache, done, score, rng), nxt
-
-        init = (bos, cache, init_done, init_score, rng)
-        (_, _, _, scores, _), toks = jax.lax.scan(step, init, None,
-                                                  length=cfg.max_length)
-        return toks.T, scores                      # (B, L)
-
-    # Early-exit variant: identical per-step math, but the loop stops
-    # once every row is done (pads thereafter are prefilled). Output is
-    # bit-identical to the scan path.
+    # BOTH modes run the same lax.while_loop program; early_exit only
+    # adds the all-rows-done term to the predicate (output-identical —
+    # pads thereafter are prefilled). This is deliberate: the fixed-trip
+    # constructs (lax.scan / fori_loop) of the identical body DETERMIN-
+    # ISTICALLY MISCOMPILE on the axon TPU runtime — NaN scores and
+    # zeroed alternating batch rows from step 0, reproduced across
+    # processes/compiles, while the same program is bit-exact on CPU and
+    # the while_loop form is bit-exact on both (tools/
+    # probe_decode_identity.py, fitted flagship checkpoint). Keeping one
+    # loop construct makes fixed/early identity structural AND avoids
+    # the miscompiled program shape.
     seqs0 = jnp.full((batch_size, cfg.max_length), cfg.pad_token_id,
                      jnp.int32)
 
     def cond(state):
-        t, done = state[0], state[4]
-        return (t < cfg.max_length) & ~jnp.all(done)
+        t, done, score = state[0], state[4], state[5]
+        in_range = t < cfg.max_length
+        if not cfg.early_exit:
+            # ALWAYS-TRUE data-dependent term (scores are bounded far
+            # above -1e30): makes the trip count opaque to XLA so the
+            # fixed mode compiles to the SAME program structure as the
+            # early mode. A counter-only predicate lets XLA treat the
+            # loop as fixed-trip, which MISCOMPILES on the axon TPU
+            # runtime (garbage from step 0; see module note +
+            # tools/probe_decode_identity.py).
+            return in_range & (jnp.min(score) > -1e30)
+        return in_range & ~jnp.all(done)
 
     def body(state):
         t, tokens, cache, seqs, done, score, rng = state
@@ -235,34 +244,45 @@ def beam_search(apply_fn: Callable, cache: Any, batch_size: int,
                 fin_seqs_new, fin_top)
 
     state = (tokens, cache, live_seqs, live_scores, fin_seqs, fin_scores)
-    if not cfg.early_exit:
-        state = jax.lax.fori_loop(0, L, step, state)
-    else:
-        # Early exit (t5x-style bound): raw log-prob scores only fall as
-        # beams extend, and the Google-NMT penalty is largest at length
-        # L — so live_score / penalty(L) is the best penalized score any
-        # live beam can still reach. Once, in every batch row, that
-        # bound cannot beat the row's K-th finished score, later steps
-        # cannot change the output, and the loop stops.
-        # Penalty is monotone in length; raw scores are <= 0, so the
-        # best achievable penalized score divides by the LARGEST future
-        # penalty: penalty(L) for alpha >= 0, penalty(1) == 1 for
-        # alpha < 0 — max of the two covers both signs.
-        pen_max = max(((5.0 + L) / 6.0) ** cfg.length_penalty, 1.0)
+    # BOTH modes run the same lax.while_loop program (see the identical
+    # note in autoregressive_decode: the fori_loop form of this body
+    # deterministically miscompiles on the axon TPU runtime — every
+    # returned beam collapsed to an immediate-EOS hypothesis with NaN
+    # score, while the while_loop form matches the CPU decode bit-exactly;
+    # tools/probe_decode_identity.py).
+    #
+    # Early exit (t5x-style bound): raw log-prob scores only fall as
+    # beams extend, and the Google-NMT penalty is largest at length
+    # L — so live_score / penalty(L) is the best penalized score any
+    # live beam can still reach. Once, in every batch row, that
+    # bound cannot beat the row's K-th finished score, later steps
+    # cannot change the output, and the loop stops.
+    # Penalty is monotone in length; raw scores are <= 0, so the
+    # best achievable penalized score divides by the LARGEST future
+    # penalty: penalty(L) for alpha >= 0, penalty(1) == 1 for
+    # alpha < 0 — max of the two covers both signs.
+    pen_max = max(((5.0 + L) / 6.0) ** cfg.length_penalty, 1.0)
 
-        def w_cond(s):
-            t = s[0]
-            _, _, _, live_scores_t, _, fin_scores_t = s[1]
-            bound = live_scores_t[:, 0] / pen_max
-            improvable = bound > fin_scores_t[:, -1]
-            return (t < L) & jnp.any(improvable)
+    def w_cond(s):
+        t = s[0]
+        in_range = t < L
+        _, _, _, live_scores_t, _, fin_scores_t = s[1]
+        if not cfg.early_exit:
+            # always-true data-dependent term — keeps the trip count
+            # opaque (live scores are bounded far above -1e30); a
+            # counter-only predicate miscompiles on axon (see
+            # autoregressive_decode's cond note)
+            return in_range & (jnp.max(live_scores_t) > -1e30)
+        bound = live_scores_t[:, 0] / pen_max
+        improvable = bound > fin_scores_t[:, -1]
+        return in_range & jnp.any(improvable)
 
-        def w_body(s):
-            t = s[0]
-            return (t + 1, step(t, s[1]))
+    def w_body(s):
+        t = s[0]
+        return (t + 1, step(t, s[1]))
 
-        state = jax.lax.while_loop(w_cond, w_body,
-                                   (jnp.int32(0), state))[1]
+    state = jax.lax.while_loop(w_cond, w_body,
+                               (jnp.int32(0), state))[1]
     _, _, live_seqs, live_scores, fin_seqs, fin_scores = state
 
     # Fall back to best live beam if nothing finished.

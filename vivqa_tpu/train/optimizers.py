@@ -8,7 +8,10 @@ groups, layer-wise LR decay, and gradient clipping.
 TPU notes: no GradScaler anywhere — bf16 needs no loss scaling
 (reference's fp16 AMP plumbing, training_pipeline.py:342, disappears
 by design). Weight-decay masking and layer-wise decay are optax masks /
-per-path scale maps over the param tree.
+per-path scale maps over the param tree. Optimizer-state HBM levers
+(round 5): `mu_dtype="bfloat16"` halves first-moment traffic;
+`name="adafactor"` factors the second moment (row+col stats) — the
+optimizer pass is pure HBM bandwidth, see BASELINE.md MFU row.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ NO_DECAY_PATTERNS = (r"bias", r"/ln[0-9_a-z]*/", r"layernorm", r"ln_",
 @dataclasses.dataclass(frozen=True)
 class OptimizerConfig(ConfigBase):
     name: str = "adamw"             # adamw | adam | sgd | radam | lamb
+    #                               # | adafactor
     learning_rate: float = 5e-5
     weight_decay: float = 0.01
     beta1: float = 0.9
@@ -42,6 +46,11 @@ class OptimizerConfig(ConfigBase):
     lookahead_slow_step: float = 0.5
     layer_decay: float = 0.0        # 0 = off; e.g. 0.9 for LLRD
     accumulate_steps: int = 1
+    # dtype of Adam-family FIRST moment (params/updates stay fp32). The
+    # optimizer pass is pure HBM traffic (read params+mu+nu+grad, write
+    # params+mu+nu); bf16 mu cuts ~1/7 of it at negligible quality cost
+    # (the mu read feeds a lerp, not a sqrt). "bfloat16" | "float32".
+    mu_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,12 +149,26 @@ def create_optimizer(config: OptimizerConfig,
           if sched is not None else config.learning_rate)
 
     mask = decay_mask(params) if params is not None else None
+    import jax.numpy as jnp
+    mu_dtype = jnp.dtype(config.mu_dtype)
     if config.name == "adamw":
         opt = optax.adamw(lr, b1=config.beta1, b2=config.beta2,
                           eps=config.eps, weight_decay=config.weight_decay,
-                          mask=mask)
+                          mask=mask, mu_dtype=mu_dtype)
     elif config.name == "adam":
-        opt = optax.adam(lr, b1=config.beta1, b2=config.beta2, eps=config.eps)
+        opt = optax.adam(lr, b1=config.beta1, b2=config.beta2, eps=config.eps,
+                         mu_dtype=mu_dtype)
+    elif config.name == "adafactor":
+        # factored second moment (row+col stats instead of a full fp32
+        # tree) — the MaxText-class lever for the optimizer's pure-HBM
+        # param/moment sweep; momentum off = no first moment either
+        opt = optax.adafactor(
+            lr, multiply_by_parameter_scale=False,
+            clipping_threshold=None,
+            momentum=config.beta1 if config.beta1 > 0 else None,
+            dtype_momentum=mu_dtype,
+            weight_decay_rate=config.weight_decay or None,
+            weight_decay_mask=mask)
     elif config.name == "sgd":
         opt = optax.chain(
             optax.add_decayed_weights(config.weight_decay, mask=mask),
