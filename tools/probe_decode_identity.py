@@ -58,7 +58,9 @@ def first_eos(row):
 RUNS = int(os.environ.get("PROBE_RUNS", 3))
 for strategy in os.environ.get("PROBE_STRATEGIES", "greedy,beam").split(","):
     seqs = {}
-    for early in (False, True):
+    modes = {"fixed": False, "early": True}
+    sel = os.environ.get("PROBE_MODES", "fixed,early").split(",")
+    for early in [modes[m] for m in sel]:
         gen = jax.jit(build_generate_fn(model, DecodeConfig(
             max_length=cfg.max_answer_length, strategy=strategy,
             num_beams=4, bos_token_id=cfg.bos_token_id,
@@ -76,6 +78,8 @@ for strategy in os.environ.get("PROBE_STRATEGIES", "greedy,beam").split(","):
               f"first_eos={lens}", flush=True)
         print(f"[probe]   row0: {runs[-1][0][0][:12].tolist()} "
               f"score0={runs[-1][1][0]:.4f}", flush=True)
+    if f"{strategy}_fixed" not in seqs or f"{strategy}_early" not in seqs:
+        continue
     a = seqs[f"{strategy}_fixed"]
     b = seqs[f"{strategy}_early"]
     eq = np.array_equal(a, b)
