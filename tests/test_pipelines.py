@@ -62,6 +62,46 @@ def test_model_pipeline_validates_forward():
     assert out.mesh.devices.size == 8
 
 
+def test_training_pipeline_mid_run_resume(synth, tmp_path):
+    """TrainingPipelineConfig(resume=True) continues an interrupted run
+    from the best saved epoch with a fresh optimizer (round-5: lets
+    ablation experiments survive the 10-min TPU chunk cap)."""
+    import jax
+    from vivqa_tpu.pipelines.training_pipeline import TrainingPipeline
+
+    data = DataPipeline(_data_cfg(synth)).run()
+    mcfg = ModelPipelineConfig(
+        model=VQAModelConfig(visual=TINY_VIS, text=TINY_TXT,
+                             fusion=FusionConfig(fusion_type="concat",
+                                                 hidden_dim=32, num_heads=2,
+                                                 num_layers=1)),
+        mesh=MeshConfig(model_axis=1))
+    mout = ModelPipeline(mcfg.replace(model=mcfg.model.replace(
+        num_answers=len(data.answer2id),
+        text=TINY_TXT.replace(vocab_size=data.tokenizer.vocab_size)))).run()
+
+    def tcfg(n):
+        return TrainingPipelineConfig(
+            num_epochs=n, optimizer=OptimizerConfig(learning_rate=5e-3),
+            checkpoint_dir=str(tmp_path / "ck_resume"),
+            early_stopping_patience=10, log_every=100, resume=True)
+
+    # chunk 1: 2 epochs from scratch (resume=True with empty dir = noop)
+    out1 = TrainingPipeline(tcfg(2)).run(
+        mout.model, mout.params, mout.mesh, data.train_loader,
+        data.val_loader, data.id2answer)
+    assert len(out1.history) == 2
+    # chunk 2: continue to 4 — only the REMAINING epochs run
+    params2 = jax.tree.map(lambda x: x, mout.params)
+    out2 = TrainingPipeline(tcfg(4)).run(
+        mout.model, params2, mout.mesh, data.train_loader,
+        data.val_loader, data.id2answer)
+    assert len(out2.history) == 2          # epochs 2 and 3 only
+    assert out2.history[0]["epoch"] == 2
+    # resumed params actually trained on: loss continues below chunk 1's
+    assert out2.history[-1]["train_loss"] < out1.history[0]["train_loss"]
+
+
 def test_vqa_pipeline_train_then_evaluate(synth, tmp_path):
     csv, imgs = synth
     cfg = VQAPipelineConfig(

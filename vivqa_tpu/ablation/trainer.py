@@ -143,7 +143,10 @@ class AblationTrainer:
                 num_epochs=cfg.num_epochs, optimizer=opt,
                 checkpoint_dir=ckpt_dir, log_every=1000,
                 metric_for_best=cfg.primary_metric,
-                expert_mask=mask or (), seed=cfg.seed), self.log)
+                expert_mask=mask or (), seed=cfg.seed,
+                # interrupted experiments (10-min TPU chunk cap) resume
+                # from their best epoch instead of restarting
+                resume=True), self.log)
             out = tp.run(model, params, self.mesh, self.data.train_loader,
                          self.data.val_loader, self.data.id2answer)
         moe_metrics = self._collect_moe_metrics(model, out, mask)

@@ -71,6 +71,12 @@ class TrainingPipelineConfig(ConfigBase):
     # vivqa_tpu/ablation — functional equivalent of the reference's
     # router monkey-patch, ablation_trainer.py:150-197)
     expert_mask: tuple = ()
+    # resume from checkpoint_dir when checkpoints exist there: restore
+    # the best params and continue at the saved epoch + 1 with a FRESH
+    # optimizer (same chunked-resume semantics as the generative
+    # pipeline). Lets interrupted runs — e.g. ablation experiments cut
+    # by the <10-min TPU chunk cap — continue instead of restarting.
+    resume: bool = False
 
 
 @dataclasses.dataclass
@@ -170,6 +176,17 @@ class TrainingPipeline:
         history = []
         timer = StepTimer()
 
+        start_epoch = 0
+        if cfg.resume and ckpt.latest_step() is not None:
+            restored, meta = ckpt.restore_best()
+            state = state.replace(params=jax.device_put(
+                restored["params"],
+                jax.tree.map(lambda s: s.sharding, state.params)))
+            start_epoch = int((meta or {}).get("epoch", -1)) + 1
+            log.info("resumed best checkpoint from %s — continuing at "
+                     "epoch %d (fresh optimizer)", cfg.checkpoint_dir,
+                     start_epoch)
+
         drop_sched = None
         if cfg.dropout_schedule:
             from vivqa_tpu.data.augmentation import DropoutScheduler
@@ -182,7 +199,7 @@ class TrainingPipeline:
                 schedule=cfg.dropout_schedule)
         cur_rate = None
 
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             if drop_sched is not None:
                 rate = drop_sched.get_dropout(epoch)
                 if rate != cur_rate:
