@@ -123,7 +123,8 @@ class AblationTrainer:
             tp = GenerativeTrainingPipeline(GenerativeTrainingConfig(
                 num_epochs=cfg.num_epochs, optimizer=opt,
                 checkpoint_dir=ckpt_dir, log_every=1000,
-                expert_mask=mask or (), seed=cfg.seed), self.log)
+                expert_mask=mask or (), seed=cfg.seed,
+                resume=True), self.log)
             out = tp.run(model, params, self.mesh, self.data.train_loader,
                          self.data.val_loader, self.data.tokenizer)
         else:

@@ -65,6 +65,10 @@ class GenerativeTrainingConfig(ConfigBase):
     max_eval_batches: int = 0          # 0 = all
     seed: int = 42
     expert_mask: tuple = ()            # ablation masking, () = off
+    # resume from checkpoint_dir when checkpoints exist there: restore
+    # best params, continue at saved epoch + 1 with a fresh optimizer
+    # (chunked-resume semantics; see TrainingPipelineConfig.resume)
+    resume: bool = False
 
 
 @dataclasses.dataclass
@@ -137,7 +141,18 @@ class GenerativeTrainingPipeline:
         history = []
         timer = StepTimer()
 
-        for epoch in range(cfg.num_epochs):
+        start_epoch = 0
+        if cfg.resume and ckpt.latest_step() is not None:
+            restored, meta = ckpt.restore_best()
+            state = state.replace(params=jax.device_put(
+                restored["params"],
+                jax.tree.map(lambda s: s.sharding, state.params)))
+            start_epoch = int((meta or {}).get("epoch", -1)) + 1
+            log.info("resumed best checkpoint from %s — continuing at "
+                     "epoch %d (fresh optimizer)", cfg.checkpoint_dir,
+                     start_epoch)
+
+        for epoch in range(start_epoch, cfg.num_epochs):
             losses = []
             timer.reset()
             for i, batch in enumerate(device_prefetch(iter(train_loader),
