@@ -4,6 +4,16 @@
 # specialized experts (--expert-hidden-dim 1024). Same corpus recipe as
 # the r3 study (1,024-sample learnable synthetic, 64x64, seed 0).
 #
+# Matrix (26 rows, `--dry-run` to list): the study RUNS
+#   0,1          full + no_moe (retrained baselines; plant-1 result)
+#   3,5,...,25   the 12 ph_* post-hoc rows (eval-time masks on the
+#                trained full baseline — the positive control)
+#   14,16        two RETRAINED leave-one-out rows (expected null,
+#                in-study contrast with their ph_ twins)
+# The other retrained single_expert/leave_one_out rows are omitted:
+# plant 1 showed retraining heals capacity masks on this corpus, so
+# they would only repeat r3's nulls at ~12 TPU-minutes each.
+#
 # Usage (from /root/repo, ambient axon env):
 #   bash reports/ablation_r5_control/run_study.sh          # all (resumes)
 #   bash reports/ablation_r5_control/run_study.sh 0-1      # one chunk
@@ -23,7 +33,7 @@ fi
 
 case "${1:-}" in
   report)   EXP="--report-only" ;;
-  "")       EXP="" ;;
+  "")       EXP="--experiments 0,1,3,5,7,9,11,13,14,15,16,17,19,21,23,25" ;;
   *)        EXP="--experiments $1" ;;
 esac
 exec python -m vivqa_tpu.ablation.run_ablation \

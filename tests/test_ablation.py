@@ -422,3 +422,87 @@ def test_clopper_pearson_and_delta_ci():
     ev = AblationEvaluator(res, "vqa_accuracy")
     p = ev.paired_comparisons()[0]
     assert p["delta_ci95"][0] > 0          # significant effect: CI > 0
+
+
+def test_post_hoc_matrix_generation():
+    """post_hoc_masks emits an eval-time twin (ph_ prefix) for every
+    masked ablation, never for full/no_moe."""
+    cfg = AblationConfig(search=AblationSearchSpace(
+        num_experts=3, include_single_expert=True,
+        include_leave_one_out=True, post_hoc_masks=True))
+    ids = [e.experiment_id for e in cfg.generate_experiment_matrix()]
+    assert sum(1 for i in ids if i.startswith("ph_single_expert")) == 3
+    assert sum(1 for i in ids if i.startswith("ph_leave_one_out")) == 3
+    assert not any(i.startswith("ph_full") or i.startswith("ph_no_moe")
+                   for i in ids)
+    assert len(ids) == len(set(ids))
+    # ph rows don't leak into the retrained importance regexes
+    import re
+    assert not any(re.match(r"leave_one_out_(\d+)__", i)
+                   for i in ids if i.startswith("ph_"))
+
+
+def test_post_hoc_experiment_end_to_end(tmp_path, mesh8):
+    """A post-hoc row evaluates the trained FULL baseline's checkpoint
+    with the mask applied at eval time — no retraining, mask-consistent
+    metrics, and a single-expert mask that demonstrably changes the
+    mask relative to the baseline's."""
+    from vivqa_tpu.data import generate_synthetic_vivqa
+    from vivqa_tpu.models.config import (FusionConfig, MoEModelConfig,
+                                         TextEncoderConfig,
+                                         VisualEncoderConfig, VQAModelConfig)
+    from vivqa_tpu.pipelines.data_pipeline import (DataPipeline,
+                                                   DataPipelineConfig)
+    csv, imgs = generate_synthetic_vivqa(tmp_path / "d", n=24, image_size=16)
+    data_out = DataPipeline(DataPipelineConfig(
+        csv_path=str(csv), image_dir=str(imgs), image_size=16,
+        max_question_length=8, batch_size=8,
+        augmentation_strength="light")).run()
+    base = VQAModelConfig(
+        visual=VisualEncoderConfig(image_size=16, patch_size=8,
+                                   hidden_dim=32, num_layers=1, num_heads=2),
+        text=TextEncoderConfig(vocab_size=data_out.tokenizer.vocab_size,
+                               hidden_dim=32, num_layers=1, num_heads=2,
+                               max_length=8),
+        fusion=FusionConfig(fusion_type="concat", hidden_dim=32,
+                            num_heads=2, num_layers=1),
+        moe=MoEModelConfig(use_moe=True, num_experts=2, top_k=1,
+                           expert_hidden_dim=32))
+    cfg = AblationConfig(
+        search=AblationSearchSpace(num_experts=2, include_no_moe=False,
+                                   include_leave_one_out=False,
+                                   include_single_expert=True,
+                                   post_hoc_masks=True),
+        num_epochs=1, batch_size=8, learning_rate=5e-3,
+        output_dir=str(tmp_path / "abl"))
+    matrix = cfg.generate_experiment_matrix()
+    ids = [e.experiment_id for e in matrix]
+    i_full = next(i for i, x in enumerate(ids) if x.startswith("full__"))
+    i_ph = next(i for i, x in enumerate(ids)
+                if x.startswith("ph_single_expert_0"))
+    trainer = AblationTrainer(cfg, base, data_out, mesh8)
+    runner = AblationRunner(cfg, trainer)
+    results = runner.run(selected=[i_full, i_ph])
+    by_id = {r.experiment_id: r for r in results}
+    ph = by_id[ids[i_ph]]
+    full = by_id[ids[i_full]]
+    assert ph.status == "completed", ph.error
+    assert ph.history == []                      # no training happened
+    assert not (tmp_path / "abl" / "checkpoints" / ids[i_ph]).exists()
+    n_val = len(data_out.val_loader.dataset)
+    assert ph.correct_mask is not None and len(ph.correct_mask) == n_val
+    # metrics are derived from the mask -> consistent by construction
+    assert abs(ph.metrics["exact_match"]
+               - sum(ph.correct_mask) / n_val) < 1e-9
+    # the masked model routes everything through expert 0 only
+    assert ph.moe_metrics is not None
+    assert ph.moe_metrics["num_active_experts"] <= 1
+    # paired machinery picks the ph row up against the baseline
+    ev = AblationEvaluator(list(by_id.values()), "exact_match",
+                           "classification", n_eval=n_val)
+    paired = ev.paired_comparisons()
+    assert any(p["experiment_id"] == ids[i_ph] for p in paired) \
+        or full.correct_mask is None
+    # resume: second run skips both
+    results2 = runner.run(selected=[i_full, i_ph])
+    assert {r.experiment_id for r in results2} == set(by_id)

@@ -201,6 +201,28 @@ class AblationAnalyzer:
                 f"(baseline-only correct {top['baseline_only_correct']}, "
                 f"ablated-only correct {top['ablated_only_correct']}, "
                 f"p={top['p_value']:.4f}).")
+            ph = [p for p in paired
+                  if p["experiment_id"].startswith("ph_")]
+            if ph:
+                n_ph_sig = sum(1 for p in ph if p["significant"])
+                if n_ph_sig:
+                    worst = max(ph, key=lambda p: p["delta"])
+                    findings.append(
+                        f"Post-hoc (eval-time) ablations — instrument "
+                        f"positive control: {n_ph_sig}/{len(ph)} fire "
+                        f"significant (largest: {worst['experiment_id']} "
+                        f"drops {worst['delta']:+.4f} {self.ev.primary}, "
+                        f"p={worst['p_value']:.2e}) — the expert mask "
+                        f"demonstrably bites and the paired machinery "
+                        f"detects real effects; retrained nulls are "
+                        f"therefore capacity statements, not instrument "
+                        f"blindness.")
+                else:
+                    findings.append(
+                        f"Post-hoc (eval-time) ablations: 0/{len(ph)} "
+                        f"significant — the trained model does not "
+                        f"depend on any masked expert even without "
+                        f"retraining.")
             loo = [p for p in paired
                    if re.match(r"leave_one_out_\d+__", p["experiment_id"])
                    and p.get("delta_ci95")]

@@ -26,6 +26,14 @@ class ExpertAblationConfig(ConfigBase):
     # expert indices kept (subset/single_expert) or dropped (leave_one_out)
     expert_indices: tuple = ()
     description: str = ""
+    # post-hoc = apply the expert mask at EVAL time to the trained FULL
+    # baseline (no retraining). Retrained ablations measure whether the
+    # remaining capacity can re-learn the task; post-hoc ablations
+    # measure whether the trained router/experts are load-bearing right
+    # now — the classic trained-network ablation, and the study's
+    # positive control (retraining heals redundant-capacity ablations,
+    # so retrained rows can be null while post-hoc rows fire).
+    post_hoc: bool = False
 
     @property
     def experiment_part(self) -> str:
@@ -34,7 +42,8 @@ class ExpertAblationConfig(ConfigBase):
         if self.mode == "no_moe":
             return "no_moe"
         idx = "-".join(map(str, self.expert_indices))
-        return f"{self.mode}_{idx}"
+        prefix = "ph_" if self.post_hoc else ""
+        return f"{prefix}{self.mode}_{idx}"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +84,11 @@ class AblationSearchSpace(ConfigBase):
     top_k_values: tuple = (2,)
     load_balance_weights: tuple = (0.01,)
     cross_expert_router: bool = False     # full cross product if True
+    # emit a post-hoc (eval-time, no retraining) twin of every masked
+    # ablation — see ExpertAblationConfig.post_hoc. Twins are cheap (one
+    # val sweep over the trained full baseline) and serve as the study's
+    # positive control: they must fire where retrained rows heal.
+    post_hoc_masks: bool = False
 
     def generate_expert_configs(self) -> List[ExpertAblationConfig]:
         out: List[ExpertAblationConfig] = []
@@ -86,19 +100,24 @@ class AblationSearchSpace(ConfigBase):
         if self.include_no_moe:
             out.append(ExpertAblationConfig("no_moe", (),
                                             "MoE disabled entirely"))
+
+        def _emit(mode, idx, desc):
+            out.append(ExpertAblationConfig(mode, idx, desc))
+            if self.post_hoc_masks:
+                out.append(ExpertAblationConfig(
+                    mode, idx, f"{desc} (post-hoc, eval-time)",
+                    post_hoc=True))
+
         if self.include_single_expert:
             for i in range(E):
-                out.append(ExpertAblationConfig(
-                    "single_expert", (i,), f"only expert {i}"))
+                _emit("single_expert", (i,), f"only expert {i}")
         if self.include_leave_one_out:
             for i in range(E):
-                out.append(ExpertAblationConfig(
-                    "leave_one_out", (i,), f"all but expert {i}"))
+                _emit("leave_one_out", (i,), f"all but expert {i}")
         for size in self.subset_sizes:
             combos = list(itertools.combinations(range(E), size))
             for c in combos[: self.max_subsets_per_size]:
-                out.append(ExpertAblationConfig(
-                    "subset", c, f"subset {c}"))
+                _emit("subset", c, f"subset {c}")
         return out
 
     def generate_router_configs(self) -> List[RouterAblationConfig]:

@@ -277,6 +277,90 @@ class AblationTrainer:
         except Exception:
             return None
 
+    def _baseline_checkpoint_dir(self) -> Path:
+        """Checkpoint dir of the trained FULL baseline (priority-0 row of
+        the matrix) — the model post-hoc ablations are applied to."""
+        matrix = self.config.generate_experiment_matrix()
+        base = next((e for e in matrix
+                     if e.expert.mode == "full" and not e.expert.post_hoc),
+                    None)
+        if base is None:
+            raise RuntimeError("post-hoc ablation needs a 'full' baseline "
+                               "in the experiment matrix (include_full)")
+        return Path(self.config.output_dir) / "checkpoints" / \
+            base.experiment_id
+
+    def _moe_metrics_from_params(self, model, params, mask):
+        """Router telemetry on one val batch from explicit params (the
+        post-hoc path has no TrainingPipeline output object)."""
+        from vivqa_tpu.ablation.modifier import collect_moe_metrics
+        try:
+            import jax.numpy as jnp
+            batch = next(iter(self.data.val_loader))
+            p = jax.device_put(params)
+            m = jnp.asarray(mask) if mask else None
+            fwd = jax.jit(lambda p, px, q, em: model.apply(
+                {"params": p}, px, q, expert_mask=em, deterministic=True))
+            res = fwd(p, jnp.asarray(batch["pixel_values"]),
+                      jnp.asarray(batch["input_ids"]), m)
+            return collect_moe_metrics(
+                jax.tree.map(lambda x: np.asarray(x)
+                             if hasattr(x, "shape") else x,
+                             res.get("moe_metrics", {})))
+        except Exception:
+            return None
+
+    def _run_post_hoc_experiment(self,
+                                 experiment: ExperimentConfig
+                                 ) -> ExperimentResult:
+        """Evaluate the trained FULL baseline with the experiment's
+        expert mask applied at eval time — no retraining. Measures
+        whether the trained router actually routes through (and the
+        model depends on) the masked experts; retrained ablations can't
+        see this because retraining re-learns around the mask. Serves as
+        the instrument's positive control: a mask that 'silently fails
+        to bite' would leave these rows identical to the baseline."""
+        eid = experiment.experiment_id
+        self.log.section(f"EXPERIMENT {eid} (post-hoc)")
+        t0 = time.time()
+        from vivqa_tpu.train.checkpoint import (CheckpointConfig,
+                                                CheckpointManager)
+        # full architecture + the masked modes' mask; the router config
+        # must stay the baseline's (the matrix gives post-hoc rows the
+        # default router)
+        model_cfg, mask = self._modified_model(experiment)
+        if self.config.model_type == "generative":
+            from vivqa_tpu.models.generative import GenerativeVQAModel
+            model = GenerativeVQAModel(model_cfg)
+        else:
+            from vivqa_tpu.models.vqa_model import VietnameseVQAModel
+            mc = model_cfg.replace(num_answers=len(self.data.answer2id))
+            model = VietnameseVQAModel(mc)
+        ckpt = CheckpointManager(CheckpointConfig(
+            directory=str(self._baseline_checkpoint_dir()),
+            best_metric=self.config.primary_metric))
+        try:
+            restored, _ = ckpt.restore_best()
+        finally:
+            ckpt.close()
+        params = restored["params"]
+        if self.config.model_type == "generative":
+            correct_mask = self._generative_mask_from_params(model, params,
+                                                             mask)
+        else:
+            correct_mask = self._correct_mask_from_params(model, params,
+                                                          mask)
+        metrics = {"exact_match": (sum(correct_mask) / len(correct_mask)
+                                   if correct_mask else 0.0),
+                   "n_eval": len(correct_mask)}
+        moe_metrics = None
+        if self.config.model_type != "generative":
+            moe_metrics = self._moe_metrics_from_params(model, params, mask)
+        return ExperimentResult(
+            experiment_id=eid, status="completed", metrics=metrics,
+            history=[], wall_seconds=time.time() - t0,
+            moe_metrics=moe_metrics, correct_mask=correct_mask)
+
     def backfill_correct_mask(self, experiment: ExperimentConfig):
         """Compute ``correct_mask`` for an already-trained experiment
         from its saved best checkpoint — lets older studies gain paired
@@ -308,8 +392,22 @@ class AblationTrainer:
     def run_experiment(self, experiment: ExperimentConfig) -> ExperimentResult:
         eid = experiment.experiment_id
         log = self.log
-        log.section(f"EXPERIMENT {eid}")
         t0 = time.time()
+        if experiment.expert.post_hoc:
+            try:
+                return self._run_post_hoc_experiment(experiment)
+            except KeyboardInterrupt:
+                return ExperimentResult(
+                    experiment_id=eid, status="interrupted", metrics={},
+                    history=[], wall_seconds=time.time() - t0,
+                    error="KeyboardInterrupt")
+            except Exception:  # noqa: BLE001
+                log.failure(f"post-hoc experiment {eid} failed")
+                return ExperimentResult(
+                    experiment_id=eid, status="failed", metrics={},
+                    history=[], wall_seconds=time.time() - t0,
+                    error=traceback.format_exc(limit=5))
+        log.section(f"EXPERIMENT {eid}")
         accumulate = 1
         for attempt in range(2):
             try:
