@@ -59,8 +59,8 @@ csv, imgs = ensure_synthetic_vivqa(CORPUS, n=1024, image_size=224,
 samples = load_raw_data(csv, imgs)
 tok = WhitespaceTokenizer(max_length=64)
 tok.build_vocab([s.question for s in samples])
-vocab = build_answer_vocab(samples)
-ds = VQADataset(samples, tok, vocab,
+answer2id, _ = build_answer_vocab(samples)
+ds = VQADataset(samples, tok, answer2id,
                 ImageAugmentation(224, mode="train"),
                 max_question_length=64)
 assert ds.load_batch([0, 1]) is not None, \
@@ -135,7 +135,10 @@ print(f"[overlap] device-only: {dev_s_per_step * 1e3:.1f} ms/step "
 # negligible against a 110 ms step; agreement within ~10% certifies the
 # instrument.
 step_fn = jax.jit(make_train_step(loss_fn), donate_argnums=(0,))
-state_x = TrainState.create(model.apply, params, tx, rng)
+# each state gets its OWN param/opt buffers: TrainState.create does not
+# copy, and the donated step deletes whatever its state aliases
+state_x = TrainState.create(model.apply,
+                            jax.tree.map(jnp.copy, params), tx, rng)
 state_x, m = step_fn(state_x, dev_batch)
 jax.block_until_ready(m["loss"])            # compile + settle
 t0 = time.perf_counter()
@@ -162,7 +165,8 @@ def epochs():
 
 feed = device_prefetch(epochs(), sharding=jax.devices()[0], buffer_size=2)
 # warm: one step to compile against prefetch-placed buffers
-state2 = TrainState.create(model.apply, params, tx, rng)
+state2 = TrainState.create(model.apply,
+                           jax.tree.map(jnp.copy, params), tx, rng)
 state2, metrics = step_fn(state2, next(feed))
 jax.block_until_ready(metrics["loss"])
 t0 = time.perf_counter()
