@@ -255,3 +255,39 @@ def test_dropout_scheduler_apply_to_config():
     assert cfg.text.dropout == 0.1          # original untouched
     # idempotent / no-change fast path returns the same object
     assert DropoutScheduler.apply_to_config(new, 0.25) is new
+
+
+def test_u8_wire_format(tmp_path):
+    """normalize=False emits raw uint8 (4x less wire traffic); the
+    device-side half reproduces the normalized float path bit-closely,
+    and both the PIL and native batch paths agree on dtype/range."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from vivqa_tpu.data import normalize_pixels_on_device
+    from vivqa_tpu.data.augmentation import CLIP_STD
+    img = (np.random.RandomState(0).rand(40, 40, 3) * 255).astype(np.uint8)
+    p = tmp_path / "a.jpg"
+    Image.fromarray(img).save(p, quality=95)
+
+    f32 = ImageAugmentation(image_size=32, mode="eval")
+    u8 = ImageAugmentation(image_size=32, mode="eval", normalize=False)
+    a = f32(str(p))
+    b = u8(str(p))
+    assert b.dtype == np.uint8 and b.shape == (32, 32, 3)
+    assert b.nbytes * 4 == a.astype(np.float32).nbytes
+    # device-side normalize of the u8 wire ~= the host-normalized path
+    # (only quantization to the 1/255 grid separates them)
+    bn = np.asarray(normalize_pixels_on_device(jnp.asarray(b)))
+    assert np.abs(bn - a).max() < (1.0 / 255.0) / CLIP_STD.min() + 1e-5
+    # float inputs pass through normalize_pixels_on_device unchanged
+    assert np.array_equal(
+        np.asarray(normalize_pixels_on_device(jnp.asarray(a))), a)
+    # native batch path (when built): uint8 out, missing file -> black
+    nb = u8.batch([str(p), str(tmp_path / "missing.jpg")])
+    if nb is not None:
+        assert nb.dtype == np.uint8
+        assert nb.shape == (2, 32, 32, 3)
+        assert nb[1].max() == 0                  # black placeholder
+        # wire value agrees with the PIL u8 path within jpeg/resample tol
+        assert np.abs(nb[0].astype(np.int16)
+                      - b.astype(np.int16)).mean() < 8

@@ -80,12 +80,9 @@ samples = load_raw_data(csv, imgs)
 tok = WhitespaceTokenizer(max_length=64)
 tok.build_vocab([s.question for s in samples])
 answer2id, _ = build_answer_vocab(samples)
-# u8 wire: the native loader still decodes+augments, but skips host
-# normalization (mean 0 / std 1/255 makes its float output raw 0..255);
-# the feed casts to uint8 and the STEP normalizes on device.
-aug = (ImageAugmentation(224, mode="train", mean=(0.0, 0.0, 0.0),
-                         std=(1 / 255.0,) * 3)
-       if WIRE == "u8" else ImageAugmentation(224, mode="train"))
+# u8 wire: the loader emits raw uint8 (ImageAugmentation normalize=
+# False) and the STEP normalizes on device (normalize_pixels_on_device)
+aug = ImageAugmentation(224, mode="train", normalize=(WIRE != "u8"))
 ds = VQADataset(samples, tok, answer2id, aug, max_question_length=64)
 assert ds.load_batch([0, 1]) is not None, \
     "native fastloader unavailable — run bash native/build.sh first"
@@ -93,7 +90,7 @@ assert ds.load_batch([0, 1]) is not None, \
 
 def to_wire(pixels: np.ndarray) -> np.ndarray:
     if WIRE == "u8":
-        return pixels.astype(np.uint8)      # loader emitted raw 0..255
+        return pixels                       # loader already emits uint8
     if WIRE == "bf16":
         return pixels.astype(jnp.bfloat16)
     return pixels
@@ -137,8 +134,8 @@ model = VietnameseVQAModel(cfg)
 rng = jax.random.PRNGKey(0)
 _px = np.random.RandomState(0).rand(B, 224, 224, 3).astype(np.float32)
 host_batch = {
-    "pixel_values": to_wire(_px * 255 if WIRE == "u8" else
-                            (_px - CLIP_MEAN) / CLIP_STD),
+    "pixel_values": ((_px * 255).astype(np.uint8) if WIRE == "u8" else
+                     to_wire((_px - CLIP_MEAN) / CLIP_STD)),
     "input_ids": np.random.RandomState(1).randint(
         0, _V - 1, (B, 64)).astype(np.int32),
     "attention_mask": np.ones((B, 64), np.int32),
@@ -155,11 +152,10 @@ _std = jnp.asarray(CLIP_STD, jnp.float32)
 
 def _pixels(batch):
     """Device-side normalization for the u8 wire format (fuses into the
-    patch-embed conv prologue; measured free vs the transfer it saves)."""
-    px = batch["pixel_values"]
-    if WIRE == "u8":
-        return (px.astype(jnp.float32) / 255.0 - _mean) / _std
-    return px
+    patch-embed conv prologue; measured free vs the transfer it saves).
+    Float wire formats pass through unchanged inside the helper."""
+    from vivqa_tpu.data import normalize_pixels_on_device
+    return normalize_pixels_on_device(batch["pixel_values"])
 
 
 params = model.init({"params": rng, "router": rng},

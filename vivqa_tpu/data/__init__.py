@@ -3,6 +3,7 @@ from vivqa_tpu.data.actions import (build_image_index, data_statistics,
                                     validate_samples)
 from vivqa_tpu.data.augmentation import (CLIP_MEAN, CLIP_STD,
                                          DropoutScheduler, ImageAugmentation,
+                                         normalize_pixels_on_device,
                                          TextAugmentation,
                                          create_text_augmentation)
 from vivqa_tpu.data.dataset import (IGNORE_INDEX, GenerativeVQADataset,
@@ -22,6 +23,7 @@ __all__ = [
     "OneSample", "load_raw_data", "split_data", "validate_samples",
     "data_statistics", "parse_answers", "build_image_index",
     "ImageAugmentation", "CLIP_MEAN", "CLIP_STD",
+    "normalize_pixels_on_device",
     "TextAugmentation", "create_text_augmentation", "DropoutScheduler",
     "VQADataset", "GenerativeVQADataset", "vqa_collate", "generative_collate",
     "IGNORE_INDEX", "BatchLoader", "device_prefetch",

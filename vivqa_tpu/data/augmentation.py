@@ -42,7 +42,13 @@ class ImageAugmentation:
     def __init__(self, image_size: int = 224, mode: str = "train",
                  strength: str = "medium", seed: int | None = None,
                  mean: Sequence[float] = CLIP_MEAN,
-                 std: Sequence[float] = CLIP_STD):
+                 std: Sequence[float] = CLIP_STD,
+                 normalize: bool = True):
+        """``normalize=False`` emits raw uint8 (the "u8 wire" format):
+        4x less host->device traffic than normalized float32, with the
+        `(x/255 - mean)/std` folded into the consumer's device program
+        where XLA fuses it for free (measured: reports/overlap_r5/).
+        Use `normalize_pixels_on_device` for the device-side half."""
         assert mode in ("train", "eval")
         if strength not in STRENGTH_PRESETS:
             raise ValueError(f"unknown strength '{strength}' "
@@ -51,8 +57,13 @@ class ImageAugmentation:
         self.mode = mode
         self.p = STRENGTH_PRESETS[strength]
         self.rng = random.Random(seed)
+        self.normalize = normalize
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        # the native kernel always applies (x/255 - mean)/std; identity
+        # mean/std make its float output raw 0..255 for the u8 path
+        self._native_mean = self.mean if normalize else             np.zeros(3, np.float32)
+        self._native_std = self.std if normalize else             np.full(3, 1.0 / 255.0, np.float32)
 
     def _load(self, img) -> Image.Image:
         if isinstance(img, Image.Image):
@@ -85,10 +96,11 @@ class ImageAugmentation:
             seed = self.rng.getrandbits(63)   # advances with each batch
             out, status = fastloader.batch_load_train(
                 [str(p) for p in paths], self.image_size, self.p, seed,
-                self.mean, self.std)
+                self._native_mean, self._native_std)
         else:
             out, status = fastloader.batch_load(
-                [str(p) for p in paths], self.image_size, self.mean, self.std)
+                [str(p) for p in paths], self.image_size,
+                self._native_mean, self._native_std)
         for i in np.nonzero(status != 0)[0]:
             if status[i] == -3:
                 # decode failure — possibly a non-JPEG (PNG etc.); give the
@@ -98,7 +110,10 @@ class ImageAugmentation:
                 # missing/unreadable file: black placeholder, matching the
                 # PIL fallback (reference dataset.py:83,102) — NOT raw
                 # zeros in normalized space
-                out[i] = (-self.mean / self.std).astype(np.float32)
+                out[i] = ((-self.mean / self.std).astype(np.float32)
+                          if self.normalize else 0.0)
+        if not self.normalize:
+            return np.clip(out, 0.0, 255.0).astype(np.uint8)
         return out
 
     def __call__(self, img) -> np.ndarray:
@@ -132,6 +147,8 @@ class ImageAugmentation:
             y = self.rng.randint(0, s - eh)
             x = self.rng.randint(0, s - ew)
             arr[y:y + eh, x:x + ew] = self.rng.random()
+        if not self.normalize:
+            return np.clip(arr * 255.0, 0.0, 255.0).astype(np.uint8)
         return (arr - self.mean) / self.std
 
 
@@ -256,3 +273,18 @@ class DropoutScheduler:
                 if nv is not v:
                     changes[f.name] = nv
         return _dc.replace(config, **changes) if changes else config
+
+
+def normalize_pixels_on_device(pixels, mean: Sequence[float] = CLIP_MEAN,
+                               std: Sequence[float] = CLIP_STD):
+    """Device-side half of the u8 wire format: uint8 0..255 ->
+    normalized float. Call inside the jitted step/model on batches from
+    `ImageAugmentation(normalize=False)`; XLA fuses it into the first
+    conv's prologue (measured free, reports/overlap_r5/). Float inputs
+    pass through unchanged so call sites work with either wire format."""
+    import jax.numpy as jnp
+    if pixels.dtype != jnp.uint8:
+        return pixels
+    mean = jnp.asarray(np.asarray(mean, np.float32))
+    std = jnp.asarray(np.asarray(std, np.float32))
+    return (pixels.astype(jnp.float32) / 255.0 - mean) / std
